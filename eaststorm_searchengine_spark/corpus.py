@@ -1,0 +1,183 @@
+"""Deterministic synthetic web-page corpus (FIXTURES.md §1).
+
+Synthesizes the ``pages`` input table with the exact BASELINE.json
+``input_hint`` schema — ``(url string, warc_ts timestamp, html binary,
+text string, lang string)`` — from the driver-provided
+``documents.parquet`` raw-text feedstock.  Modeled on the reference's
+checked-in fixtures (``/root/reference/examples/pt-crawl/``: small
+synthetic text pages with relative links).
+
+Every page is a *pure function of (doc_id, text, lang, n_docs)* — no
+RNG state — so any row can be recomputed independently by a test, an
+executor, or the DuckDB oracle-prep step.  The HTML deliberately
+exercises every extraction path of ``jobs/Indexer.java:83-141``:
+script/style noise, blocks above and below the 50-char keep threshold,
+a <80-char-total fallback page every 37th doc, entities, absolute +
+relative + junk links (≤500/page, ``Crawler.java:284``), and
+``<img alt>`` attributes.
+
+The ``text`` column is the golden value: ``textproc.extract_text(html)``
+— the engine's UDF must reproduce it byte-identically per url.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timedelta, timezone
+from typing import Iterator
+
+import pandas as pd
+
+from . import textproc
+
+# Host pool (~50 hosts) incl. wiki-family and social hosts so the
+# PageRank adjustments (PageRank.java:14-37) have signal.
+HOSTS: list[str] = (
+    [f"site{i:02d}.example.com" for i in range(38)]
+    + [
+        "en.wikipedia.org",
+        "de.wikipedia.org",
+        "en.wiktionary.org",
+        "commons.wikimedia.org",
+        "www.facebook.com",
+        "twitter.com",
+        "www.youtube.com",
+        "reddit.com",
+        "news.example.org",
+        "blog.example.org",
+        "shop.example.net",
+        "docs.example.io",
+    ]
+)
+
+_EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+
+def _h(doc_id: int, salt: str) -> int:
+    d = hashlib.blake2b(f"{salt}:{doc_id}".encode(), digest_size=8).digest()
+    return int.from_bytes(d, "big")
+
+
+def page_url(doc_id: int) -> str:
+    """Canonical ``scheme://host:port/path`` (reference normalization,
+    ``Crawler.java:651-661``)."""
+    host = HOSTS[_h(doc_id, "host") % len(HOSTS)]
+    scheme = "https" if _h(doc_id, "scheme") % 4 else "http"
+    port = 443 if scheme == "https" else 80
+    seg_pool = ["articles", "topics", "research", "archive", "notes",
+                "library", "papers", "guide", "wiki", "story"]
+    seg = seg_pool[_h(doc_id, "seg") % len(seg_pool)]
+    return f"{scheme}://{host}:{port}/{seg}/doc-{doc_id}.html"
+
+
+def _words(text: str) -> list[str]:
+    return [w for w in text.split() if w]
+
+
+def page_html(doc_id: int, text: str, lang: str, n_docs: int) -> str:
+    """Deterministic HTML for one document."""
+    words = _words(text)
+    title_words = words[:6] if words else [f"untitled {doc_id}"]
+    title = " ".join(title_words)
+    h = _h(doc_id, "layout")
+
+    parts: list[str] = []
+    lang_attr = f' lang="{lang}"' if lang else ""
+    parts.append(f"<!DOCTYPE html><html{lang_attr}><head>")
+    parts.append(f"<title>{title} &amp; notes &#39;{doc_id % 97}&#39;</title>")
+    parts.append("<style>body { color: #222; ignored-token-xyzzy }</style>")
+    parts.append("</head><body>")
+    parts.append("<script>var tracker_noise_token = 12345; /* must vanish */</script>")
+
+    # fallback page: almost no block text (Indexer.java:109-112 path)
+    if doc_id % 37 == 0:
+        parts.append(f"<span>tiny {title_words[0]}</span>")
+    else:
+        # body blocks: split words into chunks; alternate tags; some
+        # chunks are made short (≤50 chars) to exercise the block filter.
+        tags = ["p", "div", "article", "section"]
+        n_blocks = 3 + (h % 4)
+        chunk = max(1, len(words) // max(n_blocks, 1))
+        for b in range(n_blocks):
+            seg = words[b * chunk : (b + 1) * chunk]
+            if not seg:
+                break
+            tag = tags[(h + b) % 4]
+            if b == n_blocks - 1 and _h(doc_id, f"short{b}") % 3 == 0:
+                seg = seg[:3]  # likely ≤50 chars → dropped by block filter
+            body = " ".join(seg)
+            if b == 1:
+                body += f' see https://ref{doc_id % 7}.example.com/x?id={doc_id}'
+            attr = f' class="c{b}"' if b % 2 else ""
+            parts.append(f"<{tag}{attr}>{body} <b>edition {doc_id % 13}</b></{tag}>")
+
+    # links: absolute (deterministic targets), relative, junk schemes
+    k = 2 + (h % 4)
+    for j in range(k):
+        tgt = (doc_id * 31 + j * 7 + 1) % max(n_docs, 1)
+        parts.append(
+            f'<a href="{page_url(tgt)}">{" ".join(_words(text)[j : j + 3]) or "link"}</a>'
+        )
+    parts.append(f'<a href="related-{doc_id % 11}.html">related {title_words[0]}</a>')
+    parts.append('<a href="javascript:void(0)">click</a>')
+    parts.append('<a href="mailto:x@example.com">mail</a>')
+
+    alt_pool = ["mountain landscape photo", "city skyline at night",
+                "portrait of a scientist", "logo", "diagram of the method",
+                "1234"]
+    parts.append(f'<img src="i{doc_id % 5}.png" alt="{alt_pool[h % len(alt_pool)]}">')
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def page_record(doc_id: int, text: str, lang: str, n_docs: int) -> dict:
+    html = page_html(doc_id, text, lang, n_docs)
+    return {
+        "url": page_url(doc_id),
+        "warc_ts": _EPOCH + timedelta(seconds=int(doc_id)),
+        "html": html.encode("utf-8"),
+        "text": textproc.extract_text(html),
+        "lang": lang,
+    }
+
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def synthesize_pages(spark, sf_dir: str):
+    """documents.parquet → pages DataFrame, distributed via mapInPandas
+    (each executor synthesizes its split independently — scales to any
+    corpus size; no driver-side materialization)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                page_record(int(r.doc_id), r.text or "", r.lang or "", n_docs)
+                for r in pdf.itertuples()
+            ]
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return docs.select("doc_id", "text", "lang").mapInPandas(gen, PAGES_SCHEMA)
+
+
+def pages_with_ids(spark, sf_dir: str):
+    """pages + the stable int64 doc_id (same id space as documents)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                rec = page_record(int(r.doc_id), r.text or "", r.lang or "", n_docs)
+                rec["doc_id"] = int(r.doc_id)
+                rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return docs.select("doc_id", "text", "lang").mapInPandas(
+        gen, "doc_id long, " + PAGES_SCHEMA
+    )

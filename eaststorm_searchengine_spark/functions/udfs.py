@@ -1,0 +1,149 @@
+"""Vectorized pandas UDFs — the only Python/JVM boundary in the engine.
+
+Each UDF is a thin Arrow-batched wrapper over the pure-Python parity
+functions in ``textproc`` (per BASELINE.json input_hint: "vectorized
+pandas/Arrow UDFs (no per-row Python)").  Keeping the logic in
+``textproc`` and only the batching here is what lets pytest verify the
+byte-identical invariant against the very same code the cluster runs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+from .. import textproc
+from ..stemmer import porter_stem
+
+
+def _as_str(s: pd.Series) -> pd.Series:
+    """binary/str column → str (html arrives as BinaryType per input_hint)."""
+    return s.map(
+        lambda v: v.decode("utf-8", errors="replace") if isinstance(v, (bytes, bytearray)) else v
+    )
+
+
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """HTML → normalized text (Indexer.java:83-127 semantics)."""
+    return _as_str(html).map(textproc.extract_text)
+
+
+@pandas_udf(ArrayType(StringType()))
+def tokenize_udf(text: pd.Series) -> pd.Series:
+    """Normalized text → body tokens (Indexer.java:129-140)."""
+    return text.map(textproc.tokenize)
+
+
+@pandas_udf(ArrayType(StringType()))
+def tokenize_stem_udf(text: pd.Series) -> pd.Series:
+    """Body tokens + Porter stemming (north-star analyzer variant)."""
+    return text.map(lambda t: [porter_stem(w) for w in textproc.tokenize(t)])
+
+
+@pandas_udf(ArrayType(StringType()))
+def extract_and_tokenize_udf(html: pd.Series) -> pd.Series:
+    """Full returnCleanedupPage pipeline (Indexer.java:83-141)."""
+    return _as_str(html).map(textproc.extract_and_tokenize)
+
+
+@pandas_udf(StringType())
+def extract_title_udf(html: pd.Series) -> pd.Series:
+    """<title> extraction (Crawler.java:823-846)."""
+    return _as_str(html).map(textproc.extract_title)
+
+
+@pandas_udf(ArrayType(StringType()))
+def title_tokens_udf(title: pd.Series) -> pd.Series:
+    """Title tokens (TitleIndexer.java:82-103); unique per title
+    handled downstream via array_distinct."""
+    return title.map(textproc.clean_title_tokens)
+
+
+@pandas_udf(ArrayType(StringType()))
+def url_tokens_udf(url: pd.Series) -> pd.Series:
+    """URL path tokens minus stoplist (URLIndexer.java:80-107)."""
+    return url.map(textproc.extract_tokens_from_url)
+
+
+@pandas_udf(ArrayType(StringType()))
+def alt_tokens_udf(html: pd.Series) -> pd.Series:
+    """<img alt> tokens minus stoplist (ImageAltSelfIndexer.java:44-125)."""
+    return _as_str(html).map(textproc.extract_alt_tokens)
+
+
+@pandas_udf(ArrayType(StringType()))
+def extract_links_udf(html: pd.Series) -> pd.Series:
+    """Raw <a href> values (Crawler.java:848-861)."""
+    return _as_str(html).map(textproc.extract_links)
+
+
+@pandas_udf(ArrayType(StringType()))
+def pagerank_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
+    """PageRank link extraction+normalization, ≤500/page
+    (PageRank.java:284-355)."""
+    return pd.Series(
+        [
+            textproc.extract_links_for_pagerank(
+                h.decode("utf-8", errors="replace") if isinstance(h, (bytes, bytearray)) else h, u
+            )
+            for h, u in zip(html, base_url)
+        ]
+    )
+
+
+@pandas_udf(StringType())
+def host_udf(url: pd.Series) -> pd.Series:
+    """Lowercased host (SearchServer.java:160-163, PageRank.java:53-63)."""
+    return url.map(textproc.extract_host)
+
+
+@pandas_udf(StringType())
+def normalize_url_udf(base: pd.Series, href: pd.Series) -> pd.Series:
+    """Relative-URL normalization (Crawler.java:663-777)."""
+    return pd.Series([textproc.normalize_url(b, h) for b, h in zip(base, href)])
+
+
+# Anchor-text extraction needs (target_url, position-indexed tokens) per
+# <a> tag — returned as an array of structs for downstream explode.
+from pyspark.sql.types import IntegerType, StructField, StructType  # noqa: E402
+
+_ANCHOR_HIT = ArrayType(
+    StructType(
+        [
+            StructField("target", StringType()),
+            StructField("word", StringType()),
+            StructField("position", IntegerType()),
+        ]
+    )
+)
+
+import re  # noqa: E402
+
+_ANCHOR_RE = re.compile(r'(?i)<a\s+[^>]*href\s*=\s*"([^"]+)"[^>]*>(.*?)</a>')
+
+
+def _anchor_hits(html) -> list[dict]:
+    """(word, target, position) triples per page.
+    Reference: AnchorTextIndexer.java:41-70 — regex
+    ``(?i)<a\\s+[^>]*href\\s*=\\s*"([^"]+)"[^>]*>(.*?)</a>`` (no DOTALL,
+    matching the Java pattern exactly); positions are 1-based token
+    indexes within each anchor (AnchorTextIndexer.java:57-66)."""
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    if not html:
+        return []
+    out = []
+    for m in _ANCHOR_RE.finditer(html):
+        target = textproc.java_trim(m.group(1))
+        words = textproc.cleanup_anchor(m.group(2))
+        for i, w in enumerate(words):
+            if w:
+                out.append({"target": target, "word": w, "position": i + 1})
+    return out
+
+
+@pandas_udf(_ANCHOR_HIT)
+def anchor_hits_udf(html: pd.Series) -> pd.Series:
+    return html.map(_anchor_hits)

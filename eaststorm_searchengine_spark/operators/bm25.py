@@ -1,0 +1,251 @@
+"""BM25 top-k query engine over the compressed segment index.
+
+Two executors, verified equal in tests:
+
+* ``exhaustive`` — vectorized term-at-a-time: decode every matching
+  block, accumulate per-doc scores with ``np.add.at``, local top-k per
+  doc-range chunk, global top-k via window.  At sandbox scale this is
+  the throughput winner (numpy-bound, zero per-doc Python).
+* ``wand`` — document-at-a-time block-max WAND (``wand.py``): skips
+  whole blocks whose upper bound (idf · block max_tfnorm) cannot reach
+  the running threshold, decoding lazily.  The scale path for deep
+  corpora / selective queries.
+
+Distribution model: segment blocks are grouped by ``chunk`` (doc
+range); each chunk computes its local top-k independently (scores use
+global broadcast stats, so local ranking is globally consistent), and
+the global top-k is a tiny shuffle of ``n_chunks × k`` candidate rows —
+the same TakeOrdered pattern Spark plans for orderBy+limit
+(SURVEY.md §2.5).  Replaces the reference's driver-side HashMap ranker
+(``jobs/SearchServer.java:103-226``).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import textproc
+from ..functions import sqltok
+from . import codec
+from .index_build import IndexPaths
+from .wand import wand_topk
+
+
+def bm25_idf(df_: int, n_docs: int) -> float:
+    """Lucene-style non-negative BM25 idf (see sqltok.idf_col)."""
+    return math.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))
+
+
+class BM25Index:
+    """Handle on a built index directory (see index_build.build_index)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.paths = IndexPaths(root)
+        with open(self.paths.stats) as f:
+            self.stats = json.load(f)
+        self.n_docs = int(self.stats["n_docs"])
+        self.avgdl = float(self.stats["avgdl"])
+        self.n_buckets = int(self.stats["n_buckets"])
+
+    # -- term metadata ----------------------------------------------------
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        if not terms:
+            return {}
+        rows = (
+            self.spark.read.parquet(self.paths.term_stats)
+            .filter(F.col("term").isin(terms))
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def _buckets_for(self, terms: list[str]) -> list[int]:
+        """Term → segment bucket, via the same JVM xxhash64 used at
+        build time (tiny 1-row-per-term job; avoids reimplementing
+        Spark's hash in Python)."""
+        if not terms:
+            return []
+        tdf = self.spark.createDataFrame([(t,) for t in terms], "term string")
+        rows = tdf.select(
+            F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int").alias("b")
+        ).distinct().collect()
+        return sorted({r["b"] for r in rows})
+
+    # -- search -----------------------------------------------------------
+    def search(
+        self,
+        queries: list[tuple[int, str]],
+        k: int = 10,
+        method: str = "exhaustive",
+        score_round: int | None = None,
+    ) -> DataFrame:
+        """Top-k BM25 for a query batch → DataFrame(query_id, rank,
+        doc_id, score).  Tie-break: score desc, doc_id asc (FIXTURES.md
+        §3).  Query normalization matches the reference's
+        ``q.toLowerCase().split("\\s+")`` (SearchServer.java:108) via the
+        shared tokenizer; duplicate query terms are deduped (BM25 sums
+        distinct terms, matching the DuckDB oracle)."""
+        qterms: dict[int, list[str]] = {
+            qid: sorted(set(textproc.tokenize(q.lower()))) for qid, q in queries
+        }
+        all_terms = sorted({t for ts in qterms.values() for t in ts})
+        dfs = self.term_dfs(all_terms)
+        # terms absent from the corpus contribute nothing (df lookup miss
+        # == the reference's silent per-term try/catch, SearchServer.java:117-148)
+        idf = {t: bm25_idf(dfs[t], self.n_docs) for t in all_terms if t in dfs}
+        live_terms = sorted(idf)
+
+        out_schema = "query_id int, doc_id long, score double"
+        if not live_terms:
+            empty = self.spark.createDataFrame([], out_schema)
+            return self._rank(empty, k, score_round)
+
+        buckets = self._buckets_for(live_terms)
+        segs = (
+            self.spark.read.parquet(self.paths.segments)
+            .filter(F.col("bucket").isin(buckets))  # partition pruning
+            .filter(F.col("term").isin(live_terms))
+            .select("term", "chunk", "first_doc", "last_doc", "n",
+                    "max_tfnorm", "docs", "tfs", "dls")
+        )
+
+        avgdl, n_docs = self.avgdl, self.n_docs
+        qmap = {qid: [t for t in ts if t in idf] for qid, ts in qterms.items()}
+
+        def score_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+            by_term: dict[str, pd.DataFrame] = {
+                t: g.sort_values("first_doc") for t, g in pdf.groupby("term")
+            }
+            out_rows = []
+            for qid, terms in qmap.items():
+                present = [t for t in terms if t in by_term]
+                if not present:
+                    continue
+                fn = wand_topk if method == "wand" else _exhaustive_topk
+                docs_a, scores_a = fn(
+                    [by_term[t] for t in present],
+                    [idf[t] for t in present],
+                    k,
+                    avgdl,
+                )
+                for d, s in zip(docs_a, scores_a):
+                    out_rows.append({"query_id": qid, "doc_id": int(d), "score": float(s)})
+            return pd.DataFrame(out_rows, columns=["query_id", "doc_id", "score"])
+
+        candidates = segs.groupBy("chunk").applyInPandas(score_chunk, out_schema)
+        return self._rank(candidates, k, score_round)
+
+    def _rank(self, candidates: DataFrame, k: int, score_round: int | None) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        ranked = (
+            candidates.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score")
+            .orderBy("query_id", "rank")
+        )
+        if score_round is not None:
+            ranked = ranked.withColumn("score", F.round("score", score_round))
+        return ranked
+
+
+def _exhaustive_topk(
+    term_blocks: list[pd.DataFrame], idfs: list[float], k: int, avgdl: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized term-at-a-time scoring of one chunk.  Deterministic:
+    terms arrive sorted, accumulation order fixed."""
+    doc_parts, score_parts = [], []
+    for blocks, w in zip(term_blocks, idfs):
+        for row in blocks.itertuples():
+            d = codec.delta_decode(row.docs).astype(np.int64)
+            tf = codec.vb_decode(row.tfs).astype(np.float64)
+            dl = codec.vb_decode(row.dls).astype(np.float64)
+            tfn = (tf * (sqltok.K1 + 1.0)) / (
+                tf + sqltok.K1 * (1.0 - sqltok.B + sqltok.B * dl / avgdl)
+            )
+            doc_parts.append(d)
+            score_parts.append(w * tfn)
+    all_docs = np.concatenate(doc_parts)
+    all_scores = np.concatenate(score_parts)
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    agg = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(agg, inv, all_scores)
+    if uniq.size > k:
+        part = np.argpartition(-agg, k - 1)[:k]
+    else:
+        part = np.arange(uniq.size)
+    order = np.lexsort((uniq[part], -agg[part]))
+    sel = part[order]
+    return uniq[sel], agg[sel]
+
+
+def bm25_score_dataframe(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_round: int | None = 4,
+) -> DataFrame:
+    """Pure-DataFrame BM25 — no segments, plain Catalyst plan (the
+    minimum end-to-end slice of SURVEY.md §7 step 1, kept as a built-in
+    cross-check of the segment engine).  The query-term set is tiny, so
+    Spark broadcasts it into the tf join (SearchServer's point-reads →
+    broadcast join, SURVEY.md §3.2)."""
+    tok = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        sqltok.tokens_col(F.col(text_col)).alias("tokens"),
+    )
+    doclen = tok.select("doc_id", F.size("tokens").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+
+    tf = (
+        tok.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    qrows = []
+    for qid, q in queries:
+        for t in sorted(set(textproc.tokenize(q.lower()))):
+            qrows.append((qid, t))
+    if not qrows:
+        return spark.createDataFrame([], "query_id int, rank long, doc_id long, score double")
+    qdf = spark.createDataFrame(qrows, "query_id int, term string")
+
+    scored = (
+        F.broadcast(qdf)
+        .join(dfc, "term")
+        .join(tf, "term")
+        .join(doclen, "doc_id")
+        .withColumn(
+            "contrib",
+            sqltok.idf_col(F.col("df"), F.lit(n_docs))
+            * sqltok.tf_norm_col(F.col("tf"), F.col("dl"), F.lit(avgdl)),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
+    )
+    if score_round is not None:
+        ranked = ranked.withColumn("score", F.round("score", score_round))
+    return ranked

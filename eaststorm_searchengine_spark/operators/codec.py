@@ -1,0 +1,100 @@
+"""Delta-gap + varbyte posting-list codec — vectorized numpy.
+
+Classic inverted-index compression (varbyte as in Manning/Raghavan/
+Schütze IR ch.5): doc ids are delta-gapped then varbyte-encoded; tf,
+per-posting doc-length and position arrays are varbyte-encoded directly.
+Both encode and decode are loop-free over the data (the only Python
+loop is over the ≤10 byte positions of a 64-bit value), so executors
+spend their time in numpy, not the interpreter.
+
+Wire format per number: big-endian 7-bit groups, high bit set on the
+LAST byte (terminator convention).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_THRESHOLDS = [1 << (7 * k) for k in range(1, 10)]  # 2^7, 2^14, ... 2^63
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Varbyte-encode a non-negative int array."""
+    a = np.asarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    nbytes = np.ones(a.size, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += (a >= np.uint64(t)).astype(np.int64)
+    ends = np.cumsum(nbytes) - 1
+    out = np.zeros(int(ends[-1]) + 1, dtype=np.uint8)
+    max_nb = int(nbytes.max())
+    for j in range(max_nb):  # j = byte offset from the end of each value
+        mask = nbytes > j
+        vals = (a[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        pos = ends[mask] - j
+        out[pos] = vals.astype(np.uint8)
+    out[ends] |= 0x80  # terminator bit on last byte of each value
+    return out.tobytes()
+
+
+def vb_decode(buf: bytes) -> np.ndarray:
+    """Decode a varbyte buffer → uint64 array."""
+    if not buf:
+        return np.empty(0, dtype=np.uint64)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    is_end = (b & 0x80) != 0
+    end_idx = np.flatnonzero(is_end)
+    starts = np.empty(end_idx.size, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = end_idx[:-1] + 1
+    seg_len = end_idx - starts + 1
+    seg = np.repeat(np.arange(end_idx.size), seg_len)
+    idx = np.arange(b.size)
+    pos_in_seg = idx - starts[seg]
+    shift = ((seg_len[seg] - 1 - pos_in_seg) * 7).astype(np.uint64)
+    vals7 = (b & np.uint8(0x7F)).astype(np.uint64) << shift
+    return np.add.reduceat(vals7, starts)
+
+
+def delta_encode(sorted_ids: np.ndarray) -> bytes:
+    """Delta-gap + varbyte for a strictly increasing id array."""
+    a = np.asarray(sorted_ids, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    gaps = np.empty_like(a)
+    gaps[0] = a[0]
+    gaps[1:] = a[1:] - a[:-1]
+    return vb_encode(gaps)
+
+
+def delta_decode(buf: bytes) -> np.ndarray:
+    gaps = vb_decode(buf)
+    if gaps.size == 0:
+        return gaps
+    return np.cumsum(gaps, dtype=np.uint64)
+
+
+def encode_positions(positions_per_posting: list[list[int]]) -> bytes:
+    """Concatenated per-posting position lists, each delta-gapped; the
+    posting's tf (stored separately) tells the decoder how many entries
+    belong to each posting."""
+    flat: list[int] = []
+    for plist in positions_per_posting:
+        prev = 0
+        for p in plist:
+            flat.append(p - prev)
+            prev = p
+    return vb_encode(np.asarray(flat, dtype=np.uint64))
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """Inverse of :func:`encode_positions` given the tf array."""
+    gaps = vb_decode(buf)
+    out: list[np.ndarray] = []
+    off = 0
+    for tf in np.asarray(tfs, dtype=np.int64):
+        seg = gaps[off : off + tf]
+        out.append(np.cumsum(seg, dtype=np.uint64))
+        off += tf
+    return out

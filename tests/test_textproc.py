@@ -1,0 +1,120 @@
+"""Byte-identical parity of the Python text pipeline vs the REFERENCE
+engine's own output (goldens produced by tests/golden/generate.py,
+which runs the reference's compiled Java — not a reimplementation).
+
+This is the BASELINE.json per-row invariant: extracted text (and every
+derived token stream) must match the reference byte-for-byte per input.
+"""
+
+import base64
+import os
+
+import pytest
+
+from eaststorm_searchengine_spark import textproc
+
+GOLD = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+US = "\x1f"
+NULL = "\x00"
+
+
+def _lines(name):
+    with open(os.path.join(GOLD, name)) as f:
+        return [
+            base64.b64decode(l.rstrip("\n")).decode("utf-8") for l in f.read().splitlines()
+        ]
+
+
+def _pairs(name):
+    with open(os.path.join(GOLD, name)) as f:
+        out = []
+        for l in f.read().splitlines():
+            a, b = l.split("\t")
+            out.append(
+                (base64.b64decode(a).decode("utf-8"), base64.b64decode(b).decode("utf-8"))
+            )
+        return out
+
+
+HTMLS = _lines("inputs_html.txt")
+
+
+def test_extract_text_and_tokens_byte_identical():
+    golden = _lines("extract.golden")
+    assert len(golden) == len(HTMLS)
+    for html, g in zip(HTMLS, golden):
+        parts = g.split(US)
+        want_text, want_tokens = parts[0], parts[1:]
+        assert textproc.extract_text(html) == want_text, f"text mismatch for {html[:80]!r}"
+        assert textproc.extract_and_tokenize(html) == want_tokens
+
+
+def test_title_tokens():
+    titles = _lines("inputs_titles.txt")
+    for t, g in zip(titles, _lines("title_tokens.golden")):
+        want = g.split(US) if g else []
+        assert textproc.clean_title_tokens(t) == want, repr(t)
+
+
+def test_url_tokens():
+    urls = _lines("inputs_urls.txt")
+    for u, g in zip(urls, _lines("url_tokens.golden")):
+        want = g.split(US) if g else []
+        assert textproc.extract_tokens_from_url(u) == want, repr(u)
+
+
+def test_anchor_tokens():
+    anchors = _lines("inputs_anchors.txt")
+    for a, g in zip(anchors, _lines("anchor_tokens.golden")):
+        want = g.split(US) if g else []
+        assert textproc.cleanup_anchor(a) == want, repr(a)
+
+
+def test_alt_tokens():
+    alts = _lines("inputs_alts.txt")
+    for a, g in zip(alts, _lines("alt_tokens.golden")):
+        want = g.split(US) if g else []
+        assert textproc.cleanup_meaningful_alt(a.lower()) == want, repr(a)
+
+
+def test_extract_title():
+    for html, g in zip(HTMLS, _lines("extract_title.golden")):
+        want = None if g == NULL else g
+        assert textproc.extract_title(html) == want, repr(html[:80])
+
+
+def test_extract_links():
+    for html, g in zip(HTMLS, _lines("extract_links.golden")):
+        want = g.split(US) if g else []
+        assert textproc.extract_links(html) == want, repr(html[:80])
+
+
+def test_normalize_url():
+    for (base, href), g in zip(_pairs("inputs_normalize.txt"), _lines("normalize.golden")):
+        want = None if g == NULL else g
+        assert textproc.normalize_url(base, href) == want, f"{base} + {href}"
+
+
+def test_pagerank_links():
+    for (html, base), g in zip(_pairs("inputs_pagerank.txt"), _lines("pagerank_links.golden")):
+        want = g.split(US) if g else []
+        assert textproc.extract_links_for_pagerank(html, base) == want
+
+
+def test_is_english():
+    for html, g in zip(HTMLS, _lines("is_english.golden")):
+        assert textproc.is_english_content(html) == (g == "true"), repr(html[:80])
+
+
+def test_corpus_text_column_is_extractor_output():
+    """The synthetic pages' golden text column == extract_text(html)."""
+    import duckdb
+
+    from eaststorm_searchengine_spark import corpus
+
+    rows = duckdb.sql(
+        "select doc_id, text, lang from '/root/testdata/sf0.001/documents.parquet' limit 50"
+    ).fetchall()
+    for doc_id, text, lang in rows:
+        rec = corpus.page_record(int(doc_id), text or "", lang or "", 500)
+        assert rec["text"] == textproc.extract_text(rec["html"].decode("utf-8"))
