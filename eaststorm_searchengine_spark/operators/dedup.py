@@ -1,0 +1,214 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+Beyond-reference capability (per the build brief): exact dedup,
+MinHash+LSH near-dup, SimHash, and n-gram Jaccard — the standard
+training-data-pipeline family (algorithms per Broder 1997 "On the
+resemblance and containment of documents" and Charikar 2002 "Similarity
+estimation techniques from rounding algorithms"; public literature).
+
+Scale notes: every variant is a groupBy on a *bounded-width* key
+(digest / band hash / simhash prefix), so the shuffle is uniform even
+at 10^12 docs; candidate verification joins happen only within buckets
+(classic LSH band trick), never all-pairs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+# ---- exact -------------------------------------------------------------
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n_docs, doc_ids
+    sorted).  Hash-groupBy: one shuffle keyed on a 128-bit digest."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("doc_id"))
+        .groupBy("text_hash")
+        .agg(F.count("*").cast("long").alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("text_hash")
+    )
+
+
+def distinct_texts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per distinct text (exact dedup
+    keep-one policy)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("doc_id"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+
+
+# ---- shingles + minhash --------------------------------------------------
+
+N_HASHES = 64
+N_BANDS = 16  # 16 bands x 4 rows
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash64(data: bytes, seed: int) -> int:
+    h = hashlib.blake2b(data, digest_size=8, salt=seed.to_bytes(8, "little"))
+    return struct.unpack("<Q", h.digest())[0]
+
+
+def _shingles(text: str, k: int = 5) -> set[bytes]:
+    toks = text.split()
+    if len(toks) < k:
+        return {(" ".join(toks)).encode()} if toks else set()
+    return {(" ".join(toks[i : i + k])).encode() for i in range(len(toks) - k + 1)}
+
+
+# fixed universal-hash family (a*x + b) mod p — module-level constants,
+# deterministic across sessions/executors
+_RNG = np.random.RandomState(42)
+_HASH_A = _RNG.randint(1, _MERSENNE, size=N_HASHES, dtype=np.int64)
+_HASH_B = _RNG.randint(0, _MERSENNE, size=N_HASHES, dtype=np.int64)
+
+
+def minhash_signature(text: str, n_hashes: int = N_HASHES, k: int = 5) -> list[int]:
+    """Deterministic MinHash signature (k-token shingles)."""
+    sh = _shingles(text, k)
+    if not sh:
+        return [0] * n_hashes
+    base = np.array([_hash64(s, 0) for s in sorted(sh)], dtype=np.uint64)
+    x = base.astype(object)  # python ints: exact 61-bit modular arithmetic
+    sig = []
+    for i in range(n_hashes):
+        vals = (int(_HASH_A[i]) * x + int(_HASH_B[i])) % _MERSENNE
+        sig.append(int(vals.min()))
+    return sig
+
+
+@pandas_udf(ArrayType(LongType()))
+def minhash_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: [v - (1 << 63) for v in minhash_signature(t or "")])
+    # shifted into signed-long range for Spark LongType
+
+
+def minhash_candidates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of their MinHash signature →
+    candidate pairs (doc_a < doc_b, n_shared_bands).  The groupBy key is
+    (band_id, band_hash): bounded buckets, uniform shuffle."""
+    rows_per_band = N_HASHES // n_bands
+    sigs = docs.select(
+        F.col(id_col).alias("doc_id"), minhash_udf(F.col(text_col)).alias("sig")
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band).cast("string"), b).alias("bh"),
+                ),
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared_bands"))
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+# ---- simhash -------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (Charikar 2002)."""
+    toks = (text or "").split()
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for t in toks:
+        h = _hash64(t.encode(), 1)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+@pandas_udf(LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: simhash64(t or "") - (1 << 63))
+
+
+def simhash_buckets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                    prefix_bits: int = 16) -> DataFrame:
+    """Near-dup buckets by SimHash prefix (cheap blocking stage; the
+    within-bucket hamming check runs on bounded groups)."""
+    sh = docs.select(F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("simhash"))
+    return (
+        sh.withColumn("bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("bucket")
+    )
+
+
+# ---- n-gram jaccard --------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, threshold: float = 0.8, max_ngrams_key: int = 2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs blocked on
+    shared rare n-grams.  Blocking: each doc keys on its ``max_ngrams_key``
+    lexicographically-smallest n-grams (deterministic); pairs sharing a
+    key get exact Jaccard via a set-intersection aggregation.  SQL-free
+    of any all-pairs product."""
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size(F.split(F.col(text_col), " ")) - n, F.lit(0)),
+                ),
+                lambda i: F.concat_ws(" ", F.slice(F.split(F.col(text_col), " "), i + 1, n)),
+            )
+        ).alias("grams"),
+    )
+    keys = grams.select(
+        "doc_id", "grams",
+        F.explode(F.slice(F.sort_array("grams"), 1, max_ngrams_key)).alias("key"),
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(b, (F.col("a.key") == F.col("b.key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.grams").alias("ga"), F.col("b.grams").alias("gb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = cand.withColumn(
+        "jaccard",
+        F.round(
+            F.size(F.array_intersect("ga", "gb"))
+            / F.size(F.array_union("ga", "gb")),
+            6,
+        ),
+    ).select("doc_a", "doc_b", "jaccard")
+    return jac.filter(F.col("jaccard") >= threshold).orderBy("doc_a", "doc_b")

@@ -1,0 +1,165 @@
+"""Host-level PageRank — DataFrame-iterative rewrite of
+``jobs/PageRank.java:39-278`` with the reference's exact semantics:
+
+* damping 0.85, ≤ 20 iterations, stop when Σ|Δ| < 1e-4·N
+  (``PageRank.java:10-12, 230-233``)
+* graph: host → set of linked hosts per crawled page, link extraction
+  capped at 500/page (``:46-99, 284``); nodes = hosts with crawled
+  pages (link *targets* receive rank but are not nodes)
+* dangling mass redistributed uniformly (``:140-167``)
+* per-iteration ranks quantized to 8 decimals — the reference stores
+  ranks as ``String.format("%.8f")`` strings between iterations
+  (``:206``), so the quantization is part of the fixpoint semantics;
+  we reproduce it with HALF_UP rounding (= Java's format behavior)
+* final report: social hosts ×0.10, wiki-family ranks summed into one
+  ``WikiFamily(all)`` entry (``:243-277``)
+
+Scale notes: each iteration is one shuffle join (links ⋈ ranks) + one
+aggregation; ``localCheckpoint`` cuts lineage so 20 iterations don't
+stack a 20-deep plan; the links table is computed once and cached.
+Ranks quantization keeps the loop deterministic across partitionings
+(sum order differences vanish below 1e-8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.udfs import host_udf, pagerank_links_udf
+
+DECAY = 0.85
+MAX_ITERATIONS = 20
+CONVERGENCE_THRESHOLD = 0.0001
+
+# Reference: PageRank.java:14-23
+SOCIAL_MEDIA = [
+    "facebook.com", "www.facebook.com",
+    "twitter.com", "www.twitter.com", "x.com",
+    "instagram.com", "www.instagram.com",
+    "youtube.com", "www.youtube.com",
+    "tiktok.com", "www.tiktok.com",
+    "linkedin.com", "www.linkedin.com",
+    "reddit.com", "www.reddit.com",
+    "pinterest.com", "www.pinterest.com",
+]
+
+# Reference: PageRank.java:25-37
+WIKI_SUFFIXES = [
+    ".wikipedia.org", ".wiktionary.org", ".wikibooks.org", ".wikiquote.org",
+    ".wikinews.org", ".wikivoyage.org", ".wikiversity.org", ".wikidata.org",
+    ".wikimedia.org",
+]
+
+
+def build_host_graph(pages: DataFrame) -> DataFrame:
+    """pages → adjacency (host, dsts array<string>).  Reference:
+    ``PageRank.java:46-99``: per page, the set of target hosts; per
+    host, the union over its pages.  Self-loops are kept (the reference
+    keeps them).  Canonical order: sorted dsts."""
+    per_page = pages.select(
+        host_udf("url").alias("host"),
+        pagerank_links_udf("html", "url").alias("links"),
+    ).filter(F.col("host").isNotNull())
+    link_hosts = per_page.select(
+        "host",
+        F.array_distinct(
+            F.filter(
+                F.transform(F.col("links"), lambda u: F.lower(F.parse_url(u, F.lit("HOST")))),
+                lambda h: h.isNotNull() & (h != ""),
+            )
+        ).alias("dsts"),
+    )
+    return link_hosts.groupBy("host").agg(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("dsts")))).alias("dsts")
+    )
+
+
+def pagerank(links: DataFrame, max_iterations: int = MAX_ITERATIONS) -> DataFrame:
+    """Iterate to the reference fixpoint → (host, rank).  Includes
+    link-target-only hosts in the final rank table, as the reference's
+    last aggregation does (``PageRank.java:198-207``)."""
+    spark = links.sparkSession
+    links = links.localCheckpoint()
+    n_hosts = links.count()
+    if n_hosts == 0:
+        return spark.createDataFrame([], "host string, rank double")
+    init = 1.0 / n_hosts
+
+    ranks = links.select("host", F.lit(init).alias("rank"))
+    old_ranks = ranks
+
+    for it in range(max_iterations):
+        joined = links.join(ranks, "host", "inner")
+        # dangling mass (PageRank.java:140-167)
+        dangling = (
+            joined.filter(F.size("dsts") == 0).agg(F.sum("rank").alias("s")).collect()[0]["s"]
+        ) or 0.0
+        dangling_contribution = dangling / n_hosts
+
+        contribs = joined.select(
+            F.explode(
+                F.concat(
+                    F.array(F.struct(F.col("host").alias("dst"), F.lit(0.0).alias("c"))),
+                    F.transform(
+                        "dsts",
+                        lambda d: F.struct(
+                            d.alias("dst"),
+                            (F.col("rank") / F.size("dsts")).alias("c"),
+                        ),
+                    ),
+                )
+            ).alias("e")
+        ).select(F.col("e.dst").alias("host"), F.col("e.c").alias("c"))
+
+        new_ranks = (
+            contribs.groupBy("host")
+            .agg(F.sum("c").alias("incoming"))
+            .select(
+                "host",
+                F.round(
+                    F.lit((1 - DECAY) / n_hosts)
+                    + F.lit(DECAY) * (F.col("incoming") + F.lit(dangling_contribution)),
+                    8,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+
+        if it > 0:
+            diff = (
+                old_ranks.select("host", F.col("rank").alias("old"))
+                .join(new_ranks, "host", "inner")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
+                .collect()[0]["d"]
+            ) or 0.0
+            if diff < CONVERGENCE_THRESHOLD * n_hosts:
+                return new_ranks
+        old_ranks = ranks
+        ranks = new_ranks
+    return ranks
+
+
+def final_report(ranks: DataFrame) -> DataFrame:
+    """Social ×0.10 down-weight + wiki-family merge → (host, rank)
+    ordered rank desc (reference's top-1000 report,
+    ``PageRank.java:243-277``)."""
+    adjusted = ranks.select(
+        F.lower("host").alias("host"),
+        F.when(F.lower("host").isin(SOCIAL_MEDIA), F.col("rank") * 0.10)
+        .otherwise(F.col("rank"))
+        .alias("rank"),
+    )
+    is_wiki = None
+    for suf in WIKI_SUFFIXES:
+        cond = F.col("host").endswith(suf)
+        is_wiki = cond if is_wiki is None else (is_wiki | cond)
+    wiki_sum = adjusted.filter(is_wiki).agg(
+        F.coalesce(F.sum("rank"), F.lit(0.0)).alias("rank")
+    ).select(F.lit("WikiFamily(all)").alias("host"), "rank")
+    non_wiki = adjusted.filter(~is_wiki)
+    return non_wiki.unionByName(wiki_sum).orderBy(F.desc("rank"), F.asc("host"))
+
+
+def pagerank_pipeline(pages: DataFrame, max_iterations: int = MAX_ITERATIONS) -> DataFrame:
+    return final_report(pagerank(build_host_graph(pages), max_iterations))

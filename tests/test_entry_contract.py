@@ -1,0 +1,97 @@
+"""Driver-contract gate simulation: run every ``queries()`` entry at
+sf0.01 and compare against its ``oracle_sql()`` via DuckDB — the same
+check CORRECTNESS_r{N}.json records (row count + column names +
+order-insensitive values).  Rows-only queries are smoke-checked.
+"""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _spark_rows(df):
+    return sorted(tuple(_norm(v) for v in row) for row in df.collect())
+
+
+def _duck_rows(res):
+    return sorted(tuple(_norm(v) for v in row) for row in res.fetchall())
+
+
+ORACLE_QUERIES = sorted(E.oracle_sql().keys())
+ROWS_ONLY = sorted(set(E.queries().keys()) - set(ORACLE_QUERIES))
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(spark, ddb, name):
+    qdf = E.queries()[name](spark, SF)
+    osql = E.oracle_sql()[name]
+    got = _spark_rows(qdf)
+    want = _duck_rows(ddb.sql(osql))
+    assert [c.lower() for c in sorted(qdf.columns)] == sorted(
+        c.lower() for c in ddb.sql(osql).columns
+    ), f"{name}: column names differ"
+    assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
+    mism = [(g, w) for g, w in zip(got, want) if g != w]
+    assert not mism, f"{name}: {len(mism)} mismatched rows; first: {mism[:3]}"
+
+
+# expected minimum row counts for the rows-only queries at sf0.01
+_MIN_ROWS = {
+    "body_index": 10,
+    "title_index": 5,
+    "url_index": 5,
+    "anchor_index": 5,
+    "imagealt_index": 2,
+    "pagerank_hosts": 10,
+    "composite_search": 10,
+    "minhash_pairs": 0,
+    "simhash_buckets": 0,
+    "ngram_jaccard": 0,
+    "lang_id": 500,
+    "fingerprints": 500,
+    "lsh_ann": 1,
+}
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_smoke(spark, name):
+    df = E.queries()[name](spark, SF)
+    n = df.count()
+    assert n >= _MIN_ROWS[name], f"{name}: {n} rows < {_MIN_ROWS[name]}"
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["query_id", "rank", "doc_id", "score"]
