@@ -1,0 +1,142 @@
+"""Benchmark harness — one JSON line for the driver.
+
+Headline workload (BASELINE.json metric):
+  * index-build throughput (docs/sec) over the synthetic ``pages``
+    corpus — full pipeline: html binary → extraction (byte-identical
+    reference semantics) → tokenize → salted shuffle → compressed
+    block-max segments
+  * query p50 latency over the fixed 12-query set (segment engine,
+    exhaustive + WAND)
+  * representative operator timings (PageRank, indexers, dedup, ANN,
+    analytics)
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+Scaling evidence (N vs 4N cores) lives in scaling.py → BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+HERE = os.path.dirname(os.path.abspath(__file__))
+TMP = os.path.join(HERE, "_tmp")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from eaststorm_searchengine_spark import corpus as corpus_mod
+    from eaststorm_searchengine_spark.operators import (
+        analytics,
+        dedup,
+        indexers,
+        pagerank,
+        similarity,
+    )
+    from eaststorm_searchengine_spark.operators.bm25 import BM25Index
+    from eaststorm_searchengine_spark.operators.index_build import build_index, build_index_fast
+    from eaststorm_searchengine_spark.session import get_spark
+
+    spark = get_spark("eaststorm-bench", cores=CPUS, shuffle_partitions=CPUS * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+    tag = os.path.basename(os.path.normpath(SF_DIR))
+
+    # ---- setup (untimed): materialize the pages corpus once ----------
+    pages_path = os.path.join(TMP, f"bench_pages_{tag}")
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        corpus_mod.pages_with_ids(spark, SF_DIR).write.mode("overwrite").parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+    n_docs = pages.count()
+    spark.range(1000).select(F.sum("id")).collect()  # JVM warm-up
+
+    queries: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        queries[name] = round(dt, 4)
+        return out
+
+    # ---- headline: index build from raw html -------------------------
+    idx_dir = os.path.join(TMP, f"bench_idx_{tag}")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    timed(
+        "index_build_html",
+        lambda: build_index_fast(
+            spark, pages, idx_dir, id_col="doc_id", text_col="html", from_html=True
+        ),
+    )
+    docs_per_sec = n_docs / queries["index_build_html"]
+    idx_dir2 = os.path.join(TMP, f"bench_idx_term_{tag}")
+    shutil.rmtree(idx_dir2, ignore_errors=True)
+    timed(
+        "index_build_term_partitioned",
+        lambda: build_index(
+            spark, pages, idx_dir2, id_col="doc_id", text_col="html", from_html=True
+        ),
+    )
+    idx = BM25Index(spark, idx_dir)
+
+    # ---- query latency: batch + per-query p50 ------------------------
+    timed("bm25_batch12", lambda: idx.search(E.QUERY_SET, k=10).collect())
+    timed("bm25_batch12_wand", lambda: idx.search(E.QUERY_SET, k=10, method="wand").collect())
+    lat = []
+    for qid, q in E.QUERY_SET:
+        t0 = time.time()
+        idx.search([(qid, q)], k=10).collect()
+        lat.append(time.time() - t0)
+    query_p50 = statistics.median(lat)
+    queries["bm25_single_p50"] = round(query_p50, 4)
+
+    # ---- operator suite ----------------------------------------------
+    timed("body_index", lambda: indexers.body_index(pages).count())
+    timed("title_index", lambda: indexers.title_index(pages).count())
+    timed("url_index", lambda: indexers.url_index(pages).count())
+    timed("anchor_index", lambda: indexers.anchor_index(pages).count())
+    timed("pagerank", lambda: pagerank.pagerank_pipeline(pages).count())
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed("dedup_exact", lambda: dedup.exact_dup_groups(docs).count())
+    timed("minhash_pairs", lambda: dedup.minhash_candidates(docs).count())
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvecs = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    timed("ann_cosine_topk", lambda: similarity.cosine_topk(emb, qvecs, k=10).count())
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    timed("event_value_stats", lambda: analytics.event_value_stats(events).count())
+    timed("tpch_q1", lambda: E.q_tpch_q1(spark, SF_DIR).count())
+
+    total = round(sum(queries.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR,
+                "cores": CPUS,
+                "n_docs": n_docs,
+                "index_docs_per_sec": round(docs_per_sec, 2),
+                "query_p50_sec": round(query_p50, 4),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

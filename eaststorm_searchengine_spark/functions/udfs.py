@@ -147,3 +147,64 @@ def _anchor_hits(html) -> list[dict]:
 @pandas_udf(_ANCHOR_HIT)
 def anchor_hits_udf(html: pd.Series) -> pd.Series:
     return html.map(_anchor_hits)
+
+
+# Per-document posting synthesis: tf + 1-based positions are a
+# *within-row* computation, so they're built here in one vectorized pass
+# instead of an explode → groupBy(term, doc) → collect_list aggregation
+# (which allocates millions of tiny buffers JVM-side and anti-scales).
+_DOC_POSTINGS_TYPE = StructType(
+    [
+        StructField("dl", IntegerType()),
+        StructField(
+            "postings",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("term", StringType()),
+                        StructField("tf", IntegerType()),
+                        StructField("positions", ArrayType(IntegerType())),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def _doc_postings(tokens: list[str]) -> list[dict]:
+    acc: dict[str, list[int]] = {}
+    for i, t in enumerate(tokens):
+        acc.setdefault(t, []).append(i + 1)
+    return [{"term": t, "tf": len(ps), "positions": ps} for t, ps in acc.items()]
+
+
+def _doc_postings_frame(token_lists: list[list[str]]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "dl": pd.array([len(ts) for ts in token_lists], dtype="int32"),
+            "postings": [_doc_postings(ts) for ts in token_lists],
+        }
+    )
+
+
+@pandas_udf(_DOC_POSTINGS_TYPE)
+def doc_postings_udf(text: pd.Series) -> pd.DataFrame:
+    """Normalized text → per-doc posting fragments (Indexer.java:129-140
+    tokens; positions are 1-based token indexes)."""
+    return _doc_postings_frame([textproc.tokenize(t) for t in text])
+
+
+@pandas_udf(_DOC_POSTINGS_TYPE)
+def doc_postings_from_html_udf(html: pd.Series) -> pd.DataFrame:
+    """Raw HTML → per-doc posting fragments via the full
+    returnCleanedupPage pipeline (Indexer.java:83-141)."""
+    return _doc_postings_frame([textproc.extract_and_tokenize(h) for h in _as_str(html)])
+
+
+@pandas_udf(_DOC_POSTINGS_TYPE)
+def doc_postings_stem_udf(text: pd.Series) -> pd.DataFrame:
+    """Tokens + Porter stemming → per-doc posting fragments."""
+    return _doc_postings_frame(
+        [[porter_stem(w) for w in textproc.tokenize(t)] for t in text]
+    )

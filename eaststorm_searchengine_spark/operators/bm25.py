@@ -56,7 +56,9 @@ class BM25Index:
         self.n_buckets = int(self.stats["n_buckets"])
 
     # -- term metadata ----------------------------------------------------
-    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+    def term_meta(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """term → (df, bucket) in one small scan (term_stats carries the
+        bucket, so no separate hash job per query)."""
         if not terms:
             return {}
         rows = (
@@ -64,19 +66,7 @@ class BM25Index:
             .filter(F.col("term").isin(terms))
             .collect()
         )
-        return {r["term"]: int(r["df"]) for r in rows}
-
-    def _buckets_for(self, terms: list[str]) -> list[int]:
-        """Term → segment bucket, via the same JVM xxhash64 used at
-        build time (tiny 1-row-per-term job; avoids reimplementing
-        Spark's hash in Python)."""
-        if not terms:
-            return []
-        tdf = self.spark.createDataFrame([(t,) for t in terms], "term string")
-        rows = tdf.select(
-            F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int").alias("b")
-        ).distinct().collect()
-        return sorted({r["b"] for r in rows})
+        return {r["term"]: (int(r["df"]), int(r["bucket"])) for r in rows}
 
     # -- search -----------------------------------------------------------
     def search(
@@ -96,10 +86,10 @@ class BM25Index:
             qid: sorted(set(textproc.tokenize(q.lower()))) for qid, q in queries
         }
         all_terms = sorted({t for ts in qterms.values() for t in ts})
-        dfs = self.term_dfs(all_terms)
+        meta = self.term_meta(all_terms)
         # terms absent from the corpus contribute nothing (df lookup miss
         # == the reference's silent per-term try/catch, SearchServer.java:117-148)
-        idf = {t: bm25_idf(dfs[t], self.n_docs) for t in all_terms if t in dfs}
+        idf = {t: bm25_idf(meta[t][0], self.n_docs) for t in all_terms if t in meta}
         live_terms = sorted(idf)
 
         out_schema = "query_id int, doc_id long, score double"
@@ -107,13 +97,13 @@ class BM25Index:
             empty = self.spark.createDataFrame([], out_schema)
             return self._rank(empty, k, score_round)
 
-        buckets = self._buckets_for(live_terms)
+        buckets = sorted({meta[t][1] for t in live_terms})
         segs = (
             self.spark.read.parquet(self.paths.segments)
             .filter(F.col("bucket").isin(buckets))  # partition pruning
             .filter(F.col("term").isin(live_terms))
             .select("term", "chunk", "first_doc", "last_doc", "n",
-                    "max_tfnorm", "docs", "tfs", "dls")
+                    "max_tf", "min_dl", "docs", "tfs", "dls")
         )
 
         avgdl, n_docs = self.avgdl, self.n_docs

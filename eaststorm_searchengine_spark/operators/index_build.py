@@ -44,22 +44,66 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import sqltok
-from ..functions.udfs import tokenize_udf, tokenize_stem_udf
+from ..functions.udfs import (
+    doc_postings_from_html_udf,
+    doc_postings_stem_udf,
+    doc_postings_udf,
+    extract_and_tokenize_udf,
+    tokenize_stem_udf,
+    tokenize_udf,
+)
 from . import codec
 
 CHUNK_BITS = 18  # 262,144 docs per chunk → bounded (term, chunk) groups
+MIN_CHUNK_BITS = 10
+
+
+def adaptive_chunk_bits(n_docs: int, parallelism: int) -> int:
+    """Chunk span sized to the corpus: at 10^12 docs the fixed 2^18 span
+    bounds group size; at sandbox scale a full-size span would leave a
+    single chunk (parallelism = vocab size only), so shrink until the
+    corpus yields ≥ ~4×cores chunks.  Monotone in n_docs; recorded in
+    stats.json for reproducibility."""
+    bits = CHUNK_BITS
+    while bits > MIN_CHUNK_BITS and (n_docs >> bits) < parallelism * 4:
+        bits -= 1
+    return bits
 BLOCK = 128  # postings per block (classic block-max WAND block size)
 DEFAULT_BUCKETS = 16
 
+# Block metadata stores (max_tf, min_dl) rather than a precomputed
+# tf-norm: tfnorm(tf, dl) is monotone ↑ in tf and ↓ in dl, so
+# tfnorm(max_tf, min_dl) is a valid block-max WAND upper bound computed
+# query-side with the broadcast avgdl — which frees the build from any
+# stats pre-pass (single-pass builds).
 SEGMENT_SCHEMA = (
     "bucket int, term string, chunk long, first_doc long, last_doc long, "
-    "n int, max_tfnorm double, docs binary, tfs binary, dls binary, pos binary"
+    "n int, max_tf int, min_dl int, bytes int, "
+    "docs binary, tfs binary, dls binary, pos binary"
 )
 
 SEGMENT_COLS = [
     "bucket", "term", "chunk", "first_doc", "last_doc", "n",
-    "max_tfnorm", "docs", "tfs", "dls", "pos",
+    "max_tf", "min_dl", "bytes", "docs", "tfs", "dls", "pos",
 ]
+
+# reserved pseudo-term carrying per-batch (doc_id, dl) pairs in the
+# fast path; can never collide with real tokens (tokens are [a-z]+)
+DOCLEN_TERM = "#doclens#"
+
+
+def ensure_parallelism(df: DataFrame, min_factor: int = 2) -> DataFrame:
+    """Small-input guard: a compact parquet corpus coalesces to a
+    handful of scan splits (maxPartitionBytes), which would run the
+    expensive tokenize+partial-agg map stage on 1-2 cores.  Repartition
+    up to cores×factor when the scan gives fewer — the raw-input shuffle
+    is cheap at this size.  At production scale (thousands of splits)
+    this is a no-op, so no 100-TB reshuffle ever happens."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * min_factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 class IndexPaths:
@@ -75,89 +119,121 @@ class IndexPaths:
 
 
 def tokenize_docs(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", stem: bool = False
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stem: bool = False,
+    from_html: bool = False,
 ) -> DataFrame:
     """(doc_id, tokens, dl). Tokens per ``jobs/Indexer.java:129-140``;
-    optional Porter stemming (north-star analyzer)."""
-    udf = tokenize_stem_udf if stem else tokenize_udf
+    optional Porter stemming (north-star analyzer).  With
+    ``from_html=True`` the column is raw HTML and the full
+    returnCleanedupPage pipeline (extraction + tokenize,
+    ``Indexer.java:83-141``) runs in one vectorized UDF — the true
+    webtext workload."""
+    if from_html:
+        udf = extract_and_tokenize_udf
+    else:
+        udf = tokenize_stem_udf if stem else tokenize_udf
     return docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         udf(F.col(text_col)).alias("tokens"),
     ).withColumn("dl", F.size("tokens"))
 
 
-def build_postings(tokens_df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
-    """(term, doc_id, tf, positions, dl, bucket, chunk) — positions are
-    1-based token indexes (position convention per
-    ``AnchorTextIndexer.java:57-66``; body postings carry positions per
-    the north_star).  groupBy(term, doc_id) keys are fine-grained (≤ one
-    row per term per doc), so partial aggregation keeps the shuffle
-    balanced even for stopword terms."""
-    exploded = tokens_df.select(
+def doc_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stem: bool = False,
+    from_html: bool = False,
+    n_buckets: int = DEFAULT_BUCKETS,
+    chunk_bits: int = CHUNK_BITS,
+) -> DataFrame:
+    """(term, doc_id, tf, positions, dl, bucket, chunk) in ONE vectorized
+    pass: tf and 1-based positions are per-document facts, so the UDF
+    emits finished posting fragments and the only JVM work is an explode
+    — no distributed groupBy(term, doc) ever happens.  (The first
+    implementation aggregated exploded tokens with collect_list; the
+    millions of per-group buffers thrashed GC and anti-scaled with
+    cores.)  Positions convention per ``AnchorTextIndexer.java:57-66``;
+    postings carry tf+positions per the north_star."""
+    if from_html:
+        udf = doc_postings_from_html_udf
+    else:
+        udf = doc_postings_stem_udf if stem else doc_postings_udf
+    frag = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        udf(F.col(text_col)).alias("dp"),
+    ).select("doc_id", F.col("dp.dl").alias("dl"), F.explode("dp.postings").alias("p"))
+    return frag.select(
+        F.col("p.term").alias("term"),
         "doc_id",
+        F.col("p.tf").alias("tf"),
+        F.col("p.positions").alias("positions"),
         "dl",
-        F.posexplode("tokens").alias("pos0", "term"),
-    )
-    return (
-        exploded.groupBy("term", "doc_id")
-        .agg(
-            F.count("*").cast("int").alias("tf"),
-            F.sort_array(F.collect_list((F.col("pos0") + 1).cast("int"))).alias("positions"),
-            F.first("dl").alias("dl"),
-        )
-        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-        .withColumn(
-            "chunk", F.floor(F.col("doc_id") / F.lit(1 << CHUNK_BITS)).cast("long")
-        )
+        F.pmod(F.xxhash64("p.term"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        F.floor(F.col("doc_id") / F.lit(1 << chunk_bits)).cast("long").alias("chunk"),
     )
 
 
-def _make_encoder(avgdl: float):
-    """Closure-captured avgdl (cloudpickle ships nested functions by
-    value, so the constant reaches executors)."""
-    k1, b = sqltok.K1, sqltok.B
-
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        docs = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
-        tf_norm = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-        positions = pdf["positions"].tolist()
-        bucket = int(pdf["bucket"].iloc[0])
-        term = pdf["term"].iloc[0]
-        chunk = int(pdf["chunk"].iloc[0])
-        rows = []
-        for s in range(0, len(docs), BLOCK):
-            e = min(s + BLOCK, len(docs))
-            rows.append(
-                {
-                    "bucket": bucket,
-                    "term": term,
-                    "chunk": chunk,
-                    "first_doc": int(docs[s]),
-                    "last_doc": int(docs[e - 1]),
-                    "n": e - s,
-                    "max_tfnorm": float(tf_norm[s:e].max()),
-                    "docs": codec.delta_encode(docs[s:e].astype(np.uint64)),
-                    "tfs": codec.vb_encode(tfs[s:e].astype(np.uint64)),
-                    "dls": codec.vb_encode(dls[s:e].astype(np.uint64)),
-                    "pos": codec.encode_positions(positions[s:e]),
-                }
-            )
-        return pd.DataFrame(rows, columns=SEGMENT_COLS)
-
-    return encode_group
+def _encode_blocks(
+    bucket: int, term: str, chunk: int,
+    docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+    positions: list, rows: list,
+) -> None:
+    """Append ≤ ceil(n/128) block rows for one (term, chunk) run."""
+    for s in range(0, len(docs), BLOCK):
+        e = min(s + BLOCK, len(docs))
+        b_docs = codec.delta_encode(docs[s:e].astype(np.uint64))
+        b_tfs = codec.vb_encode(tfs[s:e].astype(np.uint64))
+        b_dls = codec.vb_encode(dls[s:e].astype(np.uint64))
+        b_pos = codec.encode_positions(positions[s:e]) if positions else b""
+        rows.append(
+            {
+                "bucket": bucket,
+                "term": term,
+                "chunk": chunk,
+                "first_doc": int(docs[s]),
+                "last_doc": int(docs[e - 1]),
+                "n": e - s,
+                "max_tf": int(tfs[s:e].max()) if len(tfs) else 0,
+                "min_dl": int(dls[s:e].min()) if len(dls) else 0,
+                "bytes": len(b_docs) + len(b_tfs) + len(b_dls) + len(b_pos),
+                "docs": b_docs,
+                "tfs": b_tfs,
+                "dls": b_dls,
+                "pos": b_pos,
+            }
+        )
 
 
-def build_segments(postings: DataFrame, avgdl: float) -> DataFrame:
+def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One (bucket, term, chunk) shuffle group → block rows (term-
+    partitioned path)."""
+    pdf = pdf.sort_values("doc_id")
+    rows: list = []
+    _encode_blocks(
+        int(pdf["bucket"].iloc[0]),
+        pdf["term"].iloc[0],
+        int(pdf["chunk"].iloc[0]),
+        pdf["doc_id"].to_numpy(dtype=np.int64),
+        pdf["tf"].to_numpy(dtype=np.int64),
+        pdf["dl"].to_numpy(dtype=np.int64),
+        pdf["positions"].tolist(),
+        rows,
+    )
+    return pd.DataFrame(rows, columns=SEGMENT_COLS)
+
+
+def build_segments(postings: DataFrame) -> DataFrame:
     """Salted repartition-by-term → sorted, compressed block rows.
 
     The shuffle key is (bucket, term, chunk): term for locality, chunk
     (doc range) as the skew salt.  applyInPandas sorts each bounded
     group and emits ≤ ceil(group/128) block rows."""
     return postings.groupBy("bucket", "term", "chunk").applyInPandas(
-        _make_encoder(avgdl), SEGMENT_SCHEMA
+        _encode_group, SEGMENT_SCHEMA
     )
 
 
@@ -168,8 +244,13 @@ def _doclens_from_postings(staged: DataFrame) -> DataFrame:
 
 
 def _finalize(spark: SparkSession, paths: IndexPaths) -> tuple[DataFrame, DataFrame]:
-    seg_read = spark.read.parquet(paths.segments)
-    term_stats = seg_read.groupBy("term").agg(F.sum("n").cast("long").alias("df"))
+    seg_read = spark.read.parquet(paths.segments).filter(F.col("term") != DOCLEN_TERM)
+    # bucket rides along so the query path resolves term→bucket with the
+    # same lookup that fetches df (one fewer job per query)
+    term_stats = seg_read.groupBy("term").agg(
+        F.sum("n").cast("long").alias("df"),
+        F.first("bucket").cast("int").alias("bucket"),
+    )
     term_stats.write.mode("overwrite").parquet(paths.term_stats)
     # per-chunk (shuffle-partition) lineage + metrics — north_rule
     lineage = (
@@ -177,9 +258,7 @@ def _finalize(spark: SparkSession, paths: IndexPaths) -> tuple[DataFrame, DataFr
         .agg(
             F.sum("n").cast("long").alias("postings"),
             F.countDistinct("term").alias("terms"),
-            F.sum(
-                F.length("docs") + F.length("tfs") + F.length("dls") + F.length("pos")
-            ).cast("long").alias("bytes"),
+            F.sum("bytes").cast("long").alias("bytes"),
         )
         .withColumn("status", F.lit("complete"))
     )
@@ -195,6 +274,7 @@ def build_index(
     text_col: str = "text",
     n_buckets: int = DEFAULT_BUCKETS,
     stem: bool = False,
+    from_html: bool = False,
 ) -> dict:
     """Full index build → ``out_dir``.  Returns build stats/metrics.
 
@@ -210,8 +290,15 @@ def build_index(
     t0 = time.time()
     paths = IndexPaths(out_dir)
 
-    tokens_df = tokenize_docs(docs, id_col, text_col, stem=stem)
-    build_postings(tokens_df, n_buckets).write.mode("overwrite").parquet(paths.postings)
+    docs = ensure_parallelism(docs)
+    n_docs_est = docs.count()  # parquet metadata read — cheap
+    chunk_bits = adaptive_chunk_bits(
+        n_docs_est, docs.sparkSession.sparkContext.defaultParallelism
+    )
+    doc_postings(
+        docs, id_col, text_col, stem=stem, from_html=from_html,
+        n_buckets=n_buckets, chunk_bits=chunk_bits,
+    ).write.mode("overwrite").parquet(paths.postings)
     staged = spark.read.parquet(paths.postings)
 
     doclens = _doclens_from_postings(staged)
@@ -224,7 +311,7 @@ def build_index(
     n_docs = int(agg["n_docs"])
     avgdl = float(agg["avgdl"] or 0.0)
 
-    build_segments(staged, avgdl).write.mode("overwrite").partitionBy("bucket").parquet(
+    build_segments(staged).write.mode("overwrite").partitionBy("bucket").parquet(
         paths.segments
     )
     term_stats, _ = _finalize(spark, paths)
@@ -236,7 +323,7 @@ def build_index(
         "n_terms": int(term_stats.count()),
         "n_buckets": n_buckets,
         "block": BLOCK,
-        "chunk_bits": CHUNK_BITS,
+        "chunk_bits": chunk_bits,
         "stem": stem,
         "k1": sqltok.K1,
         "b": sqltok.B,
@@ -278,6 +365,9 @@ def build_index_resumable(
     agg = doclens.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(agg["n_docs"]), float(agg["avgdl"] or 0.0)
 
+    chunk_bits = adaptive_chunk_bits(
+        n_docs, docs.sparkSession.sparkContext.defaultParallelism
+    )
     bounds = docs.agg(
         F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
     ).collect()[0]
@@ -292,10 +382,11 @@ def build_index_resumable(
         part_docs = docs.filter(
             (F.col(id_col) >= lo + j * span) & (F.col(id_col) < lo + (j + 1) * span)
         )
-        part_postings = build_postings(
-            tokenize_docs(part_docs, id_col, text_col), n_buckets
+        part_postings = doc_postings(
+            ensure_parallelism(part_docs), id_col, text_col,
+            n_buckets=n_buckets, chunk_bits=chunk_bits,
         )
-        build_segments(part_postings, avgdl).write.mode("overwrite").parquet(
+        build_segments(part_postings).write.mode("overwrite").parquet(
             os.path.join(paths.segments, f"part={j}")
         )
         with open(marker, "w") as f:
@@ -313,6 +404,178 @@ def build_index_resumable(
         "resumable": True,
         "n_jobs": n_jobs,
     }
+    with open(paths.stats, "w") as f:
+        json.dump(stats, f, indent=2)
+    return stats
+
+
+# ---------------------------------------------------------------------------
+# Fast path: map-side fragment build (the MapReduce-indexer shape)
+# ---------------------------------------------------------------------------
+
+def _bucket_of(term: str, n_buckets: int) -> int:
+    """Deterministic python-side term bucket (blake2b; no JVM hash
+    dependency — the query path reads the bucket from term_stats)."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(term.encode(), digest_size=8).digest(), "big"
+    ) % n_buckets
+
+
+def _make_fragment_gen(text_col: str, from_html: bool, stem: bool, n_buckets: int):
+    """mapInPandas generator: one Arrow batch of (doc_id, text|html) →
+    finished segment block rows + one reserved #doclens# row per batch.
+
+    Input partitions are contiguous doc-id ranges (repartitionByRange +
+    sortWithinPartitions), and batches within a partition are sequential,
+    so every (term, batch) run is a sorted, disjoint doc-id interval —
+    the global posting list of a term is the concatenation of its block
+    rows ordered by first_doc.  chunk = first doc_id of the batch
+    (unique and ordered across the corpus)."""
+    from .. import textproc
+    from ..stemmer import porter_stem
+
+    def tokenizer(v):
+        if from_html:
+            if isinstance(v, (bytes, bytearray)):
+                v = v.decode("utf-8", errors="replace")
+            toks = textproc.extract_and_tokenize(v)
+        else:
+            toks = textproc.tokenize(v)
+        if stem:
+            toks = [porter_stem(t) for t in toks]
+        return toks
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            if ids.size == 0:
+                continue
+            chunk = int(ids[0])
+            acc: dict[str, list] = {}
+            dls = np.empty(ids.size, dtype=np.int64)
+            for i, raw in enumerate(pdf[text_col]):
+                toks = tokenizer(raw)
+                dls[i] = len(toks)
+                seen: dict[str, list[int]] = {}
+                for p, t in enumerate(toks):
+                    seen.setdefault(t, []).append(p + 1)
+                did = int(ids[i])
+                dl = len(toks)
+                for t, ps in seen.items():
+                    acc.setdefault(t, []).append((did, len(ps), dl, ps))
+            rows: list = []
+            for t in acc:
+                entries = acc[t]  # already doc-id ordered (input sorted)
+                d = np.fromiter((e[0] for e in entries), dtype=np.int64, count=len(entries))
+                tf = np.fromiter((e[1] for e in entries), dtype=np.int64, count=len(entries))
+                dl_arr = np.fromiter((e[2] for e in entries), dtype=np.int64, count=len(entries))
+                pos = [e[3] for e in entries]
+                _encode_blocks(_bucket_of(t, n_buckets), t, chunk, d, tf, dl_arr, pos, rows)
+            # reserved doclens row for this batch
+            rows.append(
+                {
+                    "bucket": 0,
+                    "term": DOCLEN_TERM,
+                    "chunk": chunk,
+                    "first_doc": int(ids[0]),
+                    "last_doc": int(ids[-1]),
+                    "n": int(ids.size),
+                    "max_tf": 0,
+                    "min_dl": 0,
+                    "bytes": 0,
+                    "docs": codec.delta_encode(ids.astype(np.uint64)),
+                    "tfs": b"",
+                    "dls": codec.vb_encode(dls.astype(np.uint64)),
+                    "pos": b"",
+                }
+            )
+            yield pd.DataFrame(rows, columns=SEGMENT_COLS)
+
+    return gen
+
+
+def build_index_fast(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    stem: bool = False,
+    from_html: bool = False,
+    partitions: int | None = None,
+) -> dict:
+    """Single-pass, shuffle-minimal index build (fast path).
+
+    Shape: repartitionByRange(doc_id) → sortWithinPartitions →
+    mapInPandas emits *finished compressed block rows* (plus per-batch
+    doclen rows) → one parquet write partitioned by bucket.  No
+    posting-level shuffle ever happens — the only exchanged bytes are
+    the raw documents (range partitioning) and the compressed blocks
+    (write).  Term skew is structurally impossible at build time: work
+    is partitioned by document, and a stopword's postings are just more
+    block rows spread across all batches — the classic MapReduce/Lucene
+    per-segment indexing shape, with query-side merge by first_doc order.
+
+    The term-partitioned path (``build_index``) remains as the
+    checkpointed/resumable variant with term-clustered segment layout;
+    both serve the identical query engine (equality tested).
+    """
+    t0 = time.time()
+    paths = IndexPaths(out_dir)
+
+    n_docs_est = docs.count()
+    if partitions is None:
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        partitions = max(par * 2, n_docs_est // (1 << CHUNK_BITS) + 1)
+    src = docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col))
+    ranged = src.repartitionByRange(partitions, "doc_id").sortWithinPartitions("doc_id")
+    frags = ranged.mapInPandas(
+        _make_fragment_gen(text_col, from_html, stem, n_buckets), SEGMENT_SCHEMA
+    )
+    frags.write.mode("overwrite").partitionBy("bucket").parquet(paths.segments)
+
+    # doclens/stats from the reserved rows (metadata-sized read)
+    seg = spark.read.parquet(paths.segments)
+    dl_rows = seg.filter(F.col("term") == DOCLEN_TERM).select("docs", "dls")
+
+    def decode_dl(batches):
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples():
+                ids = codec.delta_decode(r.docs).astype(np.int64)
+                dls = codec.vb_decode(r.dls).astype(np.int64)
+                outs.append(pd.DataFrame({"doc_id": ids, "dl": dls}))
+            if outs:
+                yield pd.concat(outs)
+
+    dl_rows.mapInPandas(decode_dl, "doc_id long, dl long").write.mode(
+        "overwrite"
+    ).parquet(paths.doclens)
+    agg = spark.read.parquet(paths.doclens).agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.sum("dl").alias("total_tokens"),
+    ).collect()[0]
+
+    term_stats, _ = _finalize(spark, paths)
+    stats = {
+        "n_docs": int(agg["n_docs"]),
+        "avgdl": float(agg["avgdl"] or 0.0),
+        "total_tokens": int(agg["total_tokens"] or 0),
+        "n_terms": int(term_stats.count()),
+        "n_buckets": n_buckets,
+        "block": BLOCK,
+        "layout": "fragment",
+        "partitions": int(partitions),
+        "stem": stem,
+        "k1": sqltok.K1,
+        "b": sqltok.B,
+        "build_sec": time.time() - t0,
+    }
+    os.makedirs(out_dir, exist_ok=True)
     with open(paths.stats, "w") as f:
         json.dump(stats, f, indent=2)
     return stats

@@ -39,7 +39,13 @@ class _Cursor:
         self.avgdl = avgdl
         self.first = blocks["first_doc"].to_numpy(dtype=np.int64)
         self.last = blocks["last_doc"].to_numpy(dtype=np.int64)
-        self.max_tfnorm = blocks["max_tfnorm"].to_numpy(dtype=np.float64)
+        # block upper bound from (max_tf, min_dl): tfnorm is monotone
+        # ↑tf / ↓dl, so tfnorm(max_tf, min_dl) ≥ any tfnorm in the block
+        max_tf = blocks["max_tf"].to_numpy(dtype=np.float64)
+        min_dl = blocks["min_dl"].to_numpy(dtype=np.float64)
+        self.block_ubs = idf * (max_tf * (sqltok.K1 + 1.0)) / (
+            max_tf + sqltok.K1 * (1.0 - sqltok.B + sqltok.B * min_dl / avgdl)
+        )
         self.docs_b = blocks["docs"].tolist()
         self.tfs_b = blocks["tfs"].tolist()
         self.dls_b = blocks["dls"].tolist()
@@ -47,7 +53,7 @@ class _Cursor:
         self.docs: np.ndarray | None = None
         self.tfn: np.ndarray | None = None
         self.pi = 0
-        self.global_ub = float(idf * self.max_tfnorm.max())
+        self.global_ub = float(self.block_ubs.max())
         self._decode()
         self.cur = int(self.docs[0]) if self.docs is not None and self.docs.size else _INF
 
@@ -69,7 +75,7 @@ class _Cursor:
         """Upper bound of the current block's contribution."""
         if self.bi >= len(self.first):
             return 0.0
-        return float(self.idf * self.max_tfnorm[self.bi])
+        return float(self.block_ubs[self.bi])
 
     def block_last(self) -> int:
         if self.bi >= len(self.last):

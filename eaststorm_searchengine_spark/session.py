@@ -40,7 +40,7 @@ def get_spark(
         # pages.html rows are up to 500 KB (Crawler.java:28); keep scan
         # splits bounded so a partition of html blobs fits executor memory.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -1,0 +1,136 @@
+"""Scaling-efficiency evidence (BASELINE.json north_rule: throughput
+scaling efficiency ≥ 0.8 from N to 4N executors).
+
+No real cluster exists in this sandbox, so per the driver's rule the
+same job runs at two parallelism levels — ``local[N]`` vs
+``local[4N]`` (default N=2, override SCALING_N) — on identical input, and efficiency =
+(T_N / T_4N) / 4.
+
+The job is the headline workload: full index build (html → extraction →
+tokenize → salted shuffle → compressed segments) over a 50k-page corpus
+(the sf0.1 synthetic pages replicated with disjoint doc-id ranges —
+deterministic, derived solely from driver testdata; default ×100 =
+500k pages ≈ 9× the reference's 55,931-page production crawl,
+AWS_SETUP.md:384 — sized so per-core compute dominates fixed job
+overhead, the standard way to measure parallel efficiency).
+Each level runs in a fresh spark-submit-style subprocess so JVM/session
+state can't leak between measurements.
+
+Writes scaling_results.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS = int(os.environ.get("SCALING_REPLICAS", "100"))
+
+_CHILD = r"""
+import json, os, shutil, sys, time
+sys.path.insert(0, {here!r})
+from pyspark.sql import functions as F
+from eaststorm_searchengine_spark import corpus as corpus_mod
+from eaststorm_searchengine_spark.operators.index_build import build_index_fast
+from eaststorm_searchengine_spark.session import get_spark
+
+cores = int(sys.argv[1])
+pages_path = sys.argv[2]
+spark = get_spark(f"scaling-{{cores}}", cores=cores, shuffle_partitions=64)
+spark.sparkContext.setLogLevel("ERROR")
+
+pages = spark.read.parquet(pages_path)
+n = pages.count()
+spark.range(1000).select(F.sum("id")).collect()  # warm-up
+
+out = os.path.join({tmp!r}, f"scaling_idx_{{cores}}")
+shutil.rmtree(out, ignore_errors=True)
+t0 = time.time()
+build_index_fast(spark, pages, out, id_col="doc_id", text_col="html", from_html=True, partitions=128)
+dt = time.time() - t0
+print("RESULT " + json.dumps({{"cores": cores, "sec": dt, "docs": n,
+                               "docs_per_sec": n / dt}}))
+spark.stop()
+"""
+
+
+def _prepare_corpus() -> str:
+    """Materialize the replicated pages corpus once (untimed)."""
+    from pyspark.sql import functions as F
+
+    from eaststorm_searchengine_spark import corpus as corpus_mod
+    from eaststorm_searchengine_spark.session import get_spark
+
+    tmp = os.path.join(HERE, "_tmp")
+    tag = os.path.basename(os.path.normpath(SF_DIR))
+    path = os.path.join(tmp, f"scaling_pages_{tag}_x{REPLICAS}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    spark = get_spark("scaling-prep", cores=16, shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    base = corpus_mod.pages_with_ids(spark, SF_DIR)
+    n = base.count()
+    rep = None
+    for i in range(REPLICAS):
+        part = base.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
+        rep = part if rep is None else rep.unionByName(part)
+    rep.repartition(64).write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def _run(cores: int, pages_path: str) -> dict:
+    tmp = os.path.join(HERE, "_tmp")
+    code = _CHILD.format(here=HERE, tmp=tmp)
+    proc = subprocess.run(
+        [sys.executable, "-c", code, str(cores), pages_path],
+        capture_output=True,
+        text=True,
+        timeout=3000,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT from cores={cores}:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+
+
+def main() -> None:
+    pages_path = _prepare_corpus()
+    n_lo = int(os.environ.get("SCALING_N", "2"))
+    rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
+    # the sandbox VM's throughput fluctuates ~3x between runs, so run
+    # each level several times alternating and take the per-level best
+    # (the machine-noise-free capability)
+    lo_runs, hi_runs = [], []
+    for _ in range(rounds):
+        lo_runs.append(_run(n_lo, pages_path))
+        hi_runs.append(_run(n_lo * 4, pages_path))
+    lo = min(lo_runs, key=lambda r: r["sec"])
+    hi = min(hi_runs, key=lambda r: r["sec"])
+    eff = (lo["sec"] / hi["sec"]) / 4.0
+    result = {
+        "job": "index_build_html (full extraction pipeline)",
+        "corpus_docs": lo["docs"],
+        "n_cores": lo["cores"],
+        "n_sec": round(lo["sec"], 2),
+        "n_docs_per_sec": round(lo["docs_per_sec"], 1),
+        "four_n_cores": hi["cores"],
+        "four_n_sec": round(hi["sec"], 2),
+        "four_n_docs_per_sec": round(hi["docs_per_sec"], 1),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+        "all_runs": {"n": [round(r["sec"], 1) for r in lo_runs],
+                      "four_n": [round(r["sec"], 1) for r in hi_runs]},
+    }
+    with open(os.path.join(HERE, "scaling_results.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
