@@ -168,13 +168,10 @@ def _exhaustive_topk(
     uniq, inv = np.unique(all_docs, return_inverse=True)
     agg = np.zeros(uniq.size, dtype=np.float64)
     np.add.at(agg, inv, all_scores)
-    if uniq.size > k:
-        part = np.argpartition(-agg, k - 1)[:k]
-    else:
-        part = np.arange(uniq.size)
-    order = np.lexsort((uniq[part], -agg[part]))
-    sel = part[order]
-    return uniq[sel], agg[sel]
+    # full lexsort, not argpartition: a partition breaks score-ties at
+    # the k-boundary arbitrarily, violating the doc_id-asc tie-break
+    order = np.lexsort((uniq, -agg))[:k]
+    return uniq[order], agg[order]
 
 
 def bm25_score_dataframe(

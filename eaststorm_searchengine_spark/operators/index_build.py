@@ -244,17 +244,25 @@ def _doclens_from_postings(staged: DataFrame) -> DataFrame:
 
 
 def _finalize(spark: SparkSession, paths: IndexPaths) -> tuple[DataFrame, DataFrame]:
-    seg_read = spark.read.parquet(paths.segments).filter(F.col("term") != DOCLEN_TERM)
+    # one metadata-only scan (ints + term; blobs never read thanks to
+    # column pruning + the precomputed bytes column), cached for the two
+    # aggregations — term stats and per-chunk lineage
+    meta = (
+        spark.read.parquet(paths.segments)
+        .filter(F.col("term") != DOCLEN_TERM)
+        .select("term", "bucket", "chunk", "n", "bytes")
+        .cache()
+    )
     # bucket rides along so the query path resolves term→bucket with the
     # same lookup that fetches df (one fewer job per query)
-    term_stats = seg_read.groupBy("term").agg(
+    term_stats = meta.groupBy("term").agg(
         F.sum("n").cast("long").alias("df"),
         F.first("bucket").cast("int").alias("bucket"),
     )
     term_stats.write.mode("overwrite").parquet(paths.term_stats)
     # per-chunk (shuffle-partition) lineage + metrics — north_rule
     lineage = (
-        seg_read.groupBy("chunk")
+        meta.groupBy("chunk")
         .agg(
             F.sum("n").cast("long").alias("postings"),
             F.countDistinct("term").alias("terms"),
@@ -263,6 +271,7 @@ def _finalize(spark: SparkSession, paths: IndexPaths) -> tuple[DataFrame, DataFr
         .withColumn("status", F.lit("complete"))
     )
     lineage.write.mode("overwrite").parquet(paths.lineage)
+    meta.unpersist()
     return term_stats, lineage
 
 
@@ -427,12 +436,13 @@ def _make_fragment_gen(text_col: str, from_html: bool, stem: bool, n_buckets: in
     """mapInPandas generator: one Arrow batch of (doc_id, text|html) →
     finished segment block rows + one reserved #doclens# row per batch.
 
-    Input partitions are contiguous doc-id ranges (repartitionByRange +
-    sortWithinPartitions), and batches within a partition are sequential,
-    so every (term, batch) run is a sorted, disjoint doc-id interval —
-    the global posting list of a term is the concatenation of its block
-    rows ordered by first_doc.  chunk = first doc_id of the batch
-    (unique and ordered across the corpus)."""
+    Each batch is sorted by doc_id in-python, so every (term, batch) run
+    is a sorted doc-id run, and runs across batches are disjoint (a doc
+    lives in exactly one batch).  chunk = the batch's first doc_id —
+    necessarily unique across batches.  That is everything the query
+    engine needs (per-chunk independent scoring, within-chunk blocks
+    ordered by first_doc); no global ordering, and therefore no input
+    shuffle, is required."""
     from .. import textproc
     from ..stemmer import porter_stem
 
@@ -449,9 +459,10 @@ def _make_fragment_gen(text_col: str, from_html: bool, stem: bool, n_buckets: in
 
     def gen(batches):
         for pdf in batches:
-            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            if ids.size == 0:
+            if len(pdf) == 0:
                 continue
+            pdf = pdf.sort_values("doc_id")
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             chunk = int(ids[0])
             acc: dict[str, list] = {}
             dls = np.empty(ids.size, dtype=np.int64)
@@ -506,18 +517,25 @@ def build_index_fast(
     stem: bool = False,
     from_html: bool = False,
     partitions: int | None = None,
+    order: str = "none",
 ) -> dict:
-    """Single-pass, shuffle-minimal index build (fast path).
+    """Single-pass, ZERO-shuffle index build (fast path).
 
-    Shape: repartitionByRange(doc_id) → sortWithinPartitions →
-    mapInPandas emits *finished compressed block rows* (plus per-batch
-    doclen rows) → one parquet write partitioned by bucket.  No
-    posting-level shuffle ever happens — the only exchanged bytes are
-    the raw documents (range partitioning) and the compressed blocks
-    (write).  Term skew is structurally impossible at build time: work
-    is partitioned by document, and a stopword's postings are just more
-    block rows spread across all batches — the classic MapReduce/Lucene
-    per-segment indexing shape, with query-side merge by first_doc order.
+    Shape: scan → mapInPandas emits *finished compressed block rows*
+    (plus per-batch doclen rows) → one parquet write partitioned by
+    bucket.  Neither postings nor raw documents are ever shuffled: each
+    Arrow batch is sorted by doc_id in-python, which preserves every
+    invariant the query engine needs (disjoint per-chunk doc sets,
+    within-chunk blocks as sorted runs).  Term skew is structurally
+    impossible at build time: work is partitioned by document, and a
+    stopword's postings are just more block rows spread across all
+    batches — the classic MapReduce/Lucene per-segment indexing shape.
+
+    ``order="range"`` adds a repartitionByRange(doc_id) +
+    sortWithinPartitions pre-step for globally doc-ordered segments
+    (tighter delta gaps, range-prunable chunks) at the cost of shuffling
+    the raw corpus once — worth it when the index is long-lived and the
+    corpus arrives unordered.
 
     The term-partitioned path (``build_index``) remains as the
     checkpointed/resumable variant with term-clustered segment layout;
@@ -526,20 +544,26 @@ def build_index_fast(
     t0 = time.time()
     paths = IndexPaths(out_dir)
 
-    n_docs_est = docs.count()
-    if partitions is None:
-        par = docs.sparkSession.sparkContext.defaultParallelism
-        partitions = max(par * 2, n_docs_est // (1 << CHUNK_BITS) + 1)
     src = docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col))
-    ranged = src.repartitionByRange(partitions, "doc_id").sortWithinPartitions("doc_id")
-    frags = ranged.mapInPandas(
+    if order == "range":
+        n_docs_est = docs.count()
+        if partitions is None:
+            par = docs.sparkSession.sparkContext.defaultParallelism
+            partitions = max(par * 2, n_docs_est // (1 << CHUNK_BITS) + 1)
+        src = src.repartitionByRange(partitions, "doc_id").sortWithinPartitions("doc_id")
+    else:
+        src = ensure_parallelism(src)
+    frags = src.mapInPandas(
         _make_fragment_gen(text_col, from_html, stem, n_buckets), SEGMENT_SCHEMA
     )
     frags.write.mode("overwrite").partitionBy("bucket").parquet(paths.segments)
 
-    # doclens/stats from the reserved rows (metadata-sized read)
+    # doclens/stats from the reserved rows; bucket=0 filter gives
+    # directory-level partition pruning (doclen rows all land there)
     seg = spark.read.parquet(paths.segments)
-    dl_rows = seg.filter(F.col("term") == DOCLEN_TERM).select("docs", "dls")
+    dl_rows = seg.filter(
+        (F.col("bucket") == 0) & (F.col("term") == DOCLEN_TERM)
+    ).select("docs", "dls")
 
     def decode_dl(batches):
         for pdf in batches:
@@ -569,7 +593,7 @@ def build_index_fast(
         "n_buckets": n_buckets,
         "block": BLOCK,
         "layout": "fragment",
-        "partitions": int(partitions),
+        "order": order,
         "stem": stem,
         "k1": sqltok.K1,
         "b": sqltok.B,

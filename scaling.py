@@ -45,7 +45,11 @@ spark.sparkContext.setLogLevel("ERROR")
 
 pages = spark.read.parquet(pages_path)
 n = pages.count()
-spark.range(1000).select(F.sum("id")).collect()  # warm-up
+spark.range(1000).select(F.sum("id")).collect()  # JVM warm-up
+import pandas as _pd
+spark.createDataFrame([(i,) for i in range(cores * 4)], "v int").repartition(cores).mapInPandas(
+    lambda bs: (_pd.DataFrame({{"v": [len(b)]}}) for b in bs), "v int"
+).count()  # python-worker warm-up (spawn cost out of the timing)
 
 out = os.path.join({tmp!r}, f"scaling_idx_{{cores}}")
 shutil.rmtree(out, ignore_errors=True)

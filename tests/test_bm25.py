@@ -1,0 +1,160 @@
+"""BM25 engine correctness:
+
+* rank-identical (docIDs AND scores) vs an independent pure-Python
+  BM25 oracle — the FIXTURES.md §3 check
+* WAND == exhaustive, bitwise, on randomized synthetic corpora
+  (hypothesis) — exercises block boundaries, ties, absent terms
+"""
+
+import math
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from eaststorm_searchengine_spark import textproc
+from eaststorm_searchengine_spark.functions import sqltok
+from eaststorm_searchengine_spark.operators import codec
+from eaststorm_searchengine_spark.operators.bm25 import (
+    BM25Index,
+    _exhaustive_topk,
+    bm25_idf,
+)
+from eaststorm_searchengine_spark.operators.index_build import (
+    BLOCK,
+    build_index_fast,
+)
+from eaststorm_searchengine_spark.operators.wand import wand_topk
+
+SF = "/root/testdata/sf0.001"
+TMP = "/root/repo/_tmp"
+
+
+def _python_bm25(rows, query, k=10):
+    """Independent oracle: exact BM25 ranking in pure python."""
+    toks = {d: textproc.tokenize(t or "") for d, t in rows}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    terms = sorted(set(textproc.tokenize(query.lower())))
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    scores = {}
+    for d, v in toks.items():
+        s = 0.0
+        for t in terms:
+            if df.get(t, 0) == 0:
+                continue
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * (sqltok.K1 + 1)) / (
+                tf + sqltok.K1 * (1 - sqltok.B + sqltok.B * len(v) / avgdl)
+            )
+        if s > 0:
+            scores[d] = s
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(d, round(s, 4)) for d, s in ranked]
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    root = f"{TMP}/t_bm25_idx"
+    shutil.rmtree(root, ignore_errors=True)
+    build_index_fast(spark, spark.read.parquet(f"{SF}/documents.parquet"), root)
+    return BM25Index(spark, root)
+
+
+@pytest.fixture(scope="module")
+def rows(spark):
+    return [
+        (int(r["doc_id"]), r["text"])
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    ]
+
+
+@pytest.mark.parametrize(
+    "query",
+    ["join", "hash join", "merge sort join agg", "the a", "dup", "zzznone",
+     "Spark WINDOW stream", "customer filter big data"],
+)
+def test_rank_identical_vs_python_oracle(idx, rows, query):
+    want = _python_bm25(rows, query, k=10)
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in idx.search([(1, query)], k=10, score_round=4).collect()
+    ]
+    assert got == want, f"query {query!r}"
+
+
+def test_wand_equals_exhaustive_on_index(idx):
+    qs = [(i, q) for i, q in enumerate(
+        ["join", "hash join merge", "the a big", "dup window", "value"]
+    )]
+    a = [tuple(r) for r in idx.search(qs, k=25, method="exhaustive").collect()]
+    b = [tuple(r) for r in idx.search(qs, k=25, method="wand").collect()]
+    assert a == b
+
+
+# ---- randomized WAND equivalence on synthetic posting lists -------------
+
+def _mk_blocks(postings, avgdl):
+    """postings: sorted [(doc, tf, dl)] → block-row DataFrame like the
+    segment reader provides."""
+    rows = []
+    for s in range(0, len(postings), BLOCK):
+        chunk = postings[s : s + BLOCK]
+        docs = np.array([p[0] for p in chunk], dtype=np.uint64)
+        tfs = np.array([p[1] for p in chunk], dtype=np.uint64)
+        dls = np.array([p[2] for p in chunk], dtype=np.uint64)
+        rows.append(
+            {
+                "first_doc": int(docs[0]),
+                "last_doc": int(docs[-1]),
+                "n": len(chunk),
+                "max_tf": int(tfs.max()),
+                "min_dl": int(dls.min()),
+                "docs": codec.delta_encode(docs),
+                "tfs": codec.vb_encode(tfs),
+                "dls": codec.vb_encode(dls),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+@given(
+    data=st.data(),
+    n_terms=st.integers(min_value=1, max_value=5),
+    k=st.integers(min_value=1, max_value=20),
+)
+@settings(max_examples=60, deadline=None)
+def test_wand_equals_exhaustive_random(data, n_terms, k):
+    term_blocks, idfs = [], []
+    all_dls = []
+    for t in range(n_terms):
+        docs = data.draw(
+            st.lists(st.integers(min_value=0, max_value=400), min_size=1,
+                     max_size=300, unique=True)
+        )
+        docs = sorted(docs)
+        postings = []
+        for d in docs:
+            tf = data.draw(st.integers(min_value=1, max_value=9))
+            dl = data.draw(st.integers(min_value=5, max_value=200))
+            postings.append((d, tf, dl))
+            all_dls.append(dl)
+        term_blocks.append(postings)
+        idfs.append(data.draw(st.floats(min_value=0.01, max_value=8.0)))
+    avgdl = sum(all_dls) / len(all_dls)
+    frames = [_mk_blocks(p, avgdl) for p in term_blocks]
+    d1, s1 = _exhaustive_topk(frames, idfs, k, avgdl)
+    d2, s2 = wand_topk(frames, idfs, k, avgdl)
+    assert d1.tolist() == d2.tolist()
+    assert s1.tolist() == s2.tolist()  # bitwise-identical scores
+
+
+def test_idf_formula():
+    assert bm25_idf(1, 1) == math.log(1 + 0.5 / 1.5)
+    assert bm25_idf(10, 1000) > bm25_idf(500, 1000)

@@ -1,0 +1,129 @@
+"""Index-build correctness: segments decode back to exactly the
+postings a pure-Python oracle computes; both build paths agree;
+resume-after-crash equals from-scratch (FIXTURES.md §5)."""
+
+import collections
+import os
+import shutil
+
+import pytest
+
+from eaststorm_searchengine_spark import textproc
+from eaststorm_searchengine_spark.operators import codec
+from eaststorm_searchengine_spark.operators.bm25 import BM25Index
+from eaststorm_searchengine_spark.operators.index_build import (
+    DOCLEN_TERM,
+    build_index,
+    build_index_fast,
+    build_index_resumable,
+)
+
+SF = "/root/testdata/sf0.001"
+TMP = "/root/repo/_tmp"
+
+
+def _python_postings(rows):
+    """Oracle: term -> sorted [(doc_id, tf, positions)] from raw text."""
+    inv = collections.defaultdict(list)
+    doclens = {}
+    for doc_id, text in rows:
+        toks = textproc.tokenize(text or "")
+        doclens[doc_id] = len(toks)
+        seen = collections.defaultdict(list)
+        for i, t in enumerate(toks):
+            seen[t].append(i + 1)
+        for t, ps in seen.items():
+            inv[t].append((doc_id, len(ps), ps))
+    for t in inv:
+        inv[t].sort()
+    return inv, doclens
+
+
+def _decode_index(spark, root):
+    """Engine: decode every segment block back to python postings."""
+    inv = collections.defaultdict(list)
+    segs = spark.read.parquet(os.path.join(root, "segments")).filter(
+        f"term != '{DOCLEN_TERM}'"
+    ).collect()
+    for r in sorted(segs, key=lambda r: (r["term"], r["first_doc"])):
+        docs = codec.delta_decode(bytes(r["docs"])).astype("int64")
+        tfs = codec.vb_decode(bytes(r["tfs"])).astype("int64")
+        poss = codec.decode_positions(bytes(r["pos"]), tfs)
+        for d, tf, ps in zip(docs, tfs, poss):
+            inv[r["term"]].append((int(d), int(tf), [int(p) for p in ps]))
+    for t in inv:
+        inv[t].sort()
+    return dict(inv)
+
+
+@pytest.fixture(scope="module")
+def docs_rows(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    return [(int(r["doc_id"]), r["text"]) for r in df.collect()]
+
+
+@pytest.mark.parametrize("builder,tag", [(build_index, "term"), (build_index_fast, "fast")])
+def test_segments_match_python_oracle(spark, docs_rows, builder, tag):
+    root = f"{TMP}/t_idx_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    stats = builder(spark, spark.read.parquet(f"{SF}/documents.parquet"), root)
+    want, doclens = _python_postings(docs_rows)
+    got = _decode_index(spark, root)
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t] == want[t], f"postings differ for {t!r}"
+    assert stats["n_docs"] == len(doclens)
+    assert stats["total_tokens"] == sum(doclens.values())
+    # doclens table
+    dl = {
+        int(r["doc_id"]): int(r["dl"])
+        for r in spark.read.parquet(os.path.join(root, "doclens")).collect()
+    }
+    assert dl == doclens
+    # term_stats df
+    ts = {
+        r["term"]: int(r["df"])
+        for r in spark.read.parquet(os.path.join(root, "term_stats")).collect()
+    }
+    assert ts == {t: len(v) for t, v in want.items()}
+    # lineage covers all postings exactly once
+    lin = spark.read.parquet(os.path.join(root, "lineage")).collect()
+    assert sum(int(r["postings"]) for r in lin) == sum(len(v) for v in want.values())
+    assert all(r["status"] == "complete" for r in lin)
+
+
+def test_resumable_crash_resume_equals_scratch(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = f"{TMP}/t_idx_resume"
+    b = f"{TMP}/t_idx_scratch"
+    shutil.rmtree(a, ignore_errors=True)
+    shutil.rmtree(b, ignore_errors=True)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        build_index_resumable(spark, docs, a, n_jobs=4, fail_after=2)
+    # resume: skips the 2 committed parts, finishes the rest
+    build_index_resumable(spark, docs, a, n_jobs=4)
+    build_index_resumable(spark, docs, b, n_jobs=4)
+    got = _decode_index(spark, a)
+    want = _decode_index(spark, b)
+    assert got == want
+    # and the resumable index serves identical queries to the plain one
+    c = f"{TMP}/t_idx_plain"
+    shutil.rmtree(c, ignore_errors=True)
+    build_index(spark, docs, c)
+    q = [(1, "join"), (2, "hash window"), (3, "dup")]
+    ra = [tuple(r) for r in BM25Index(spark, a).search(q, k=10, score_round=4).collect()]
+    rc = [tuple(r) for r in BM25Index(spark, c).search(q, k=10, score_round=4).collect()]
+    assert ra == rc
+
+
+def test_fast_and_term_paths_serve_identical_results(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a, b = f"{TMP}/t_eq_term", f"{TMP}/t_eq_fast"
+    for p, builder in [(a, build_index), (b, build_index_fast)]:
+        shutil.rmtree(p, ignore_errors=True)
+        builder(spark, docs, p)
+    q = [(1, "join"), (2, "merge sort join"), (3, "the a"), (4, "zzz")]
+    for method in ["exhaustive", "wand"]:
+        ra = [tuple(r) for r in BM25Index(spark, a).search(q, k=10, method=method).collect()]
+        rb = [tuple(r) for r in BM25Index(spark, b).search(q, k=10, method=method).collect()]
+        assert ra == rb, method

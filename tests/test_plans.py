@@ -1,0 +1,76 @@
+"""Physical-plan assertions: the scale-critical plan properties
+(pushdown, pruning, broadcast, codegen) hold — not just correct
+results, but the plans we'd want at 100 TB."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from eaststorm_searchengine_spark.functions import sqltok
+from eaststorm_searchengine_spark.operators.bm25 import bm25_score_dataframe
+from eaststorm_searchengine_spark.operators.index_build import build_index_fast
+from eaststorm_searchengine_spark.plans import inspect
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def idx_root(spark):
+    root = "/root/repo/_tmp/t_plans_idx"
+    shutil.rmtree(root, ignore_errors=True)
+    build_index_fast(spark, spark.read.parquet(f"{SF}/documents.parquet"), root)
+    return root
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("doc_id") > 100
+    ).select("doc_id")
+    pf = inspect.pushed_filters(df)
+    assert "GreaterThan(doc_id,100)" in pf, pf
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    rs = inspect.read_schema(df)
+    assert "doc_id" in rs and "lang" in rs
+    assert "text" not in rs, f"text not pruned: {rs}"
+
+
+def test_segment_bucket_partition_pruning(spark, idx_root):
+    segs = spark.read.parquet(f"{idx_root}/segments").filter(
+        F.col("bucket").isin([1, 3])
+    )
+    pf = inspect.partition_filters(segs)
+    assert "bucket" in pf, pf
+    # term filter is pushed to the parquet row groups as well
+    segs2 = spark.read.parquet(f"{idx_root}/segments").filter(
+        (F.col("bucket") == 1) & (F.col("term") == "join")
+    )
+    assert "term" in inspect.pushed_filters(segs2)
+
+
+def test_query_term_join_is_broadcast(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = bm25_score_dataframe(spark, docs, [(1, "hash join")], k=5)
+    assert inspect.uses_broadcast_join(df)
+
+
+def test_tokenizer_expression_stays_jvm_side(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = docs.select(F.size(sqltok.tokens_col(F.col("text"))).alias("n"))
+    plan = inspect.formatted_plan(df)
+    # JVM-side expression pipeline: no Python eval nodes anywhere
+    # (higher-order array functions run on the JVM even though they
+    # fall outside whole-stage codegen)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_aggregation_has_partial_stage(spark):
+    # map-side partial aggregation (the pre-shuffle combine) is planned
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = docs.groupBy("lang").count()
+    plan = inspect.formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final

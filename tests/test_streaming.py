@@ -1,0 +1,65 @@
+"""Streaming incremental indexing: two ingest waves through
+Structured Streaming == one batch build, rank-identically."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from eaststorm_searchengine_spark.operators.bm25 import BM25Index
+from eaststorm_searchengine_spark.operators.index_build import build_index_fast
+from eaststorm_searchengine_spark.streaming import incremental
+
+SF = "/root/testdata/sf0.001"
+TMP = "/root/repo/_tmp/t_stream"
+
+
+def test_streaming_equals_batch(spark):
+    shutil.rmtree(TMP, ignore_errors=True)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    # two ingest waves land as separate files in the stream input dir
+    docs.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(f"{TMP}/in")
+    docs.filter(F.col("doc_id") >= 250).write.mode("append").parquet(f"{TMP}/in")
+
+    incremental.start_incremental_index(
+        spark,
+        input_dir=f"{TMP}/in",
+        index_dir=f"{TMP}/idx",
+        checkpoint_dir=f"{TMP}/ckpt",
+        schema="doc_id long, text string",
+    )
+    stats = incremental.refresh_metadata(spark, f"{TMP}/idx")
+    assert stats["n_docs"] == 500
+
+    build_index_fast(spark, docs, f"{TMP}/batch_idx")
+    q = [(1, "join"), (2, "hash window"), (3, "the a"), (4, "dup")]
+    got = [
+        tuple(r)
+        for r in BM25Index(spark, f"{TMP}/idx").search(q, k=10, score_round=4).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in BM25Index(spark, f"{TMP}/batch_idx").search(q, k=10, score_round=4).collect()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_streaming_replay_is_idempotent(spark):
+    # restarting the drained stream ingests nothing new and changes nothing
+    before = [
+        tuple(r)
+        for r in BM25Index(spark, f"{TMP}/idx").search([(1, "join")], k=5).collect()
+    ]
+    incremental.start_incremental_index(
+        spark,
+        input_dir=f"{TMP}/in",
+        index_dir=f"{TMP}/idx",
+        checkpoint_dir=f"{TMP}/ckpt",
+        schema="doc_id long, text string",
+    )
+    incremental.refresh_metadata(spark, f"{TMP}/idx")
+    after = [
+        tuple(r)
+        for r in BM25Index(spark, f"{TMP}/idx").search([(1, "join")], k=5).collect()
+    ]
+    assert before == after
