@@ -209,6 +209,75 @@ def q_tpch_q1(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    return analytics.sessionize(_events(spark, sf_dir))
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3-style: customer ⋈ orders ⋈ lineitem, revenue top-10
+    (broadcast-able dim join + agg + top-k; decimal-exact revenue)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < "1995-03-15"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > "1995-03-15"
+    )
+    d = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        F.broadcast(cust)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - d("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("date").cast("string"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_terms_intersect(spark, sf_dir):
+    """Distinct-term INTERSECT between en and de sub-corpora —
+    FlameRDD.intersection parity (SURVEY.md §2.3)."""
+    docs = _docs(spark, sf_dir)
+    terms = lambda lang: docs.filter(F.col("lang") == lang).select(
+        F.explode(sqltok.tokens_col(F.col("text"))).alias("term")
+    ).distinct()
+    return terms("en").intersect(terms("de")).orderBy("term")
+
+
+def q_terms_except(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    terms = lambda lang: docs.filter(F.col("lang") == lang).select(
+        F.explode(sqltok.tokens_col(F.col("text"))).alias("term")
+    ).distinct()
+    return terms("en").exceptAll(terms("zh")).orderBy("term")
+
+
+def q_region_customer_counts(spark, sf_dir):
+    """region ⋈ nation ⋈ customer rollup — the broadcast dimension-join
+    shape (small dims explicitly broadcast)."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").cast("long").alias("customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double"), 4).alias("total_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
 # ---- corpus pipeline ops (documents / embeddings) ------------------------
 
 def q_dedup_exact(spark, sf_dir):
@@ -331,7 +400,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_stats": q_event_value_stats,
         "top_users": q_top_users,
         "systematic_sample": q_systematic_sample,
+        "sessionize": q_sessionize,
         "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "terms_intersect": q_terms_intersect,
+        "terms_except": q_terms_except,
+        "region_customer_counts": q_region_customer_counts,
         # pipeline ops (oracle-checked)
         "dedup_exact": q_dedup_exact,
         "lang_distribution": q_lang_distribution,
@@ -424,6 +498,58 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY event_id) AS rn
               FROM events)
             SELECT event_id, event_type, value FROM o WHERE (rn - 1) % 50 = 0
+        """,
+        "sessionize": """
+            WITH flagged AS (
+              SELECT user_id, event_id, value, floor(epoch(ts))::BIGINT AS e,
+                     CASE WHEN floor(epoch(ts))::BIGINT
+                               - lag(floor(epoch(ts))::BIGINT) OVER
+                                 (PARTITION BY user_id ORDER BY ts, event_id)
+                               > 1800 THEN 1 ELSE 0 END AS new_session
+              FROM events),
+            s AS (
+              SELECT user_id, value, e,
+                     sum(new_session) OVER
+                       (PARTITION BY user_id ORDER BY e, event_id
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+              FROM flagged)
+            SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
+                   min(e) AS start_epoch, max(e) AS end_epoch,
+                   round(sum(value), 6) AS total_value,
+                   (max(e) - min(e))::BIGINT AS duration_sec
+            FROM s GROUP BY user_id, session_idx
+            ORDER BY user_id, session_idx
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey, CAST(o_orderdate AS DATE)::VARCHAR AS o_orderdate,
+                   o_orderpriority,
+                   (sum(l_extendedprice::DECIMAL(18,4)
+                        * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))))::DOUBLE AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+        "terms_intersect": f"""
+            WITH en AS (SELECT DISTINCT unnest({_TOK}) AS term FROM documents WHERE lang = 'en'),
+                 de AS (SELECT DISTINCT unnest({_TOK}) AS term FROM documents WHERE lang = 'de')
+            SELECT term FROM en INTERSECT SELECT term FROM de ORDER BY term
+        """,
+        "terms_except": f"""
+            WITH en AS (SELECT DISTINCT unnest({_TOK}) AS term FROM documents WHERE lang = 'en'),
+                 zh AS (SELECT DISTINCT unnest({_TOK}) AS term FROM documents WHERE lang = 'zh')
+            SELECT term FROM en EXCEPT ALL SELECT term FROM zh ORDER BY term
+        """,
+        "region_customer_counts": """
+            SELECT r_name, count(*)::BIGINT AS customers,
+                   round((sum(c_acctbal::DECIMAL(18,4)))::DOUBLE, 4) AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

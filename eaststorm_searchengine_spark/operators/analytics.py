@@ -131,3 +131,37 @@ def top_users(events: DataFrame, top: int = 20) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("user_id"))
         .limit(top)
     )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity default) — the
+    standard event-stream operator: lag → new-session flag → running
+    sum → per-session aggregates.  Deterministic order (ts, event_id).
+    Output times as epoch seconds (cross-engine-stable longs)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("timestamp").cast("long") - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
+            > gap_minutes * 60,
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    ).withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    return (
+        flagged.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min(F.col("ts").cast("timestamp").cast("long")).alias("start_epoch"),
+            F.max(F.col("ts").cast("timestamp").cast("long")).alias("end_epoch"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .withColumn("duration_sec", (F.col("end_epoch") - F.col("start_epoch")).cast("long"))
+        .orderBy("user_id", "session_idx")
+    )
