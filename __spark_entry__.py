@@ -260,6 +260,36 @@ def q_terms_except(spark, sf_dir):
     return terms("en").exceptAll(terms("zh")).orderBy("term")
 
 
+def q_cogroup(spark, sf_dir):
+    """FlamePairRDD.cogroup parity over (custkey → order ids) ⋈
+    (custkey → customer name), reference string encoding."""
+    from eaststorm_searchengine_spark.operators.flame_compat import cogroup_strings
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").cast("string").alias("key"),
+        F.col("o_orderkey").cast("string").alias("value"),
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("string").alias("key"),
+        F.col("c_name").alias("value"),
+    )
+    return cogroup_strings(orders, cust)
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Left-anti join (the crawler's not-yet-crawled pattern,
+    Crawler.java:279-298)."""
+    from eaststorm_searchengine_spark.operators.flame_compat import anti_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("key"), "c_name"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("key")
+    )
+    return anti_join(cust, orders, "key").orderBy("key")
+
+
 def q_region_customer_counts(spark, sf_dir):
     """region ⋈ nation ⋈ customer rollup — the broadcast dimension-join
     shape (small dims explicitly broadcast)."""
@@ -406,6 +436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_intersect": q_terms_intersect,
         "terms_except": q_terms_except,
         "region_customer_counts": q_region_customer_counts,
+        "cogroup": q_cogroup,
+        "customers_without_orders": q_customers_without_orders,
         # pipeline ops (oracle-checked)
         "dedup_exact": q_dedup_exact,
         "lang_distribution": q_lang_distribution,
@@ -542,6 +574,25 @@ def oracle_sql() -> dict[str, str]:
             WITH en AS (SELECT DISTINCT unnest({_TOK}) AS term FROM documents WHERE lang = 'en'),
                  zh AS (SELECT DISTINCT unnest({_TOK}) AS term FROM documents WHERE lang = 'zh')
             SELECT term FROM en EXCEPT ALL SELECT term FROM zh ORDER BY term
+        """,
+        "cogroup": """
+            WITH ga AS (
+              SELECT o_custkey::VARCHAR AS key,
+                     '[' || array_to_string(list_sort(list(o_orderkey::VARCHAR)), ',') || ']' AS va
+              FROM orders GROUP BY o_custkey),
+            gb AS (
+              SELECT c_custkey::VARCHAR AS key,
+                     '[' || array_to_string(list_sort(list(c_name)), ',') || ']' AS vb
+              FROM customer GROUP BY c_custkey)
+            SELECT coalesce(ga.key, gb.key) AS key,
+                   coalesce(va, '[]') || ',' || coalesce(vb, '[]') AS value
+            FROM ga FULL OUTER JOIN gb ON ga.key = gb.key
+            ORDER BY key
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey AS key, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY key
         """,
         "region_customer_counts": """
             SELECT r_name, count(*)::BIGINT AS customers,

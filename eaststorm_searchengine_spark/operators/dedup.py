@@ -60,32 +60,52 @@ def _hash64(data: bytes, seed: int) -> int:
     return struct.unpack("<Q", h.digest())[0]
 
 
-def _shingles(text: str, k: int = 5) -> set[bytes]:
-    toks = text.split()
-    if len(toks) < k:
-        return {(" ".join(toks)).encode()} if toks else set()
-    return {(" ".join(toks[i : i + k])).encode() for i in range(len(toks) - k + 1)}
-
-
 # fixed universal-hash family (a*x + b) mod p — module-level constants,
-# deterministic across sessions/executors
+# deterministic across sessions/executors.  a, b < 2^32 and x is
+# truncated to 31 bits so a*x + b stays below 2^64: exact uint64
+# arithmetic, fully vectorized (no object-dtype bignum path).
 _RNG = np.random.RandomState(42)
-_HASH_A = _RNG.randint(1, _MERSENNE, size=N_HASHES, dtype=np.int64)
-_HASH_B = _RNG.randint(0, _MERSENNE, size=N_HASHES, dtype=np.int64)
+_HASH_A = _RNG.randint(1, 1 << 32, size=N_HASHES, dtype=np.int64).astype(np.uint64)
+_HASH_B = _RNG.randint(0, 1 << 32, size=N_HASHES, dtype=np.int64).astype(np.uint64)
+_TOKHASH_B = np.uint64(1000003)
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    """FNV-1a per token (seed-independent), uint64."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = 0xCBF29CE484222325
+        for ch in t.encode():
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        out[i] = h
+    return out
+
+
+def _shingle_hashes(tokens: list[str], k: int = 5) -> np.ndarray:
+    """Rolling polynomial hash of k-token windows (wraparound uint64) —
+    one hash per shingle, vectorized via shifted-array sum."""
+    th = _token_hashes(tokens)
+    if th.size == 0:
+        return th
+    if th.size < k:
+        k = th.size
+    n = th.size - k + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            acc = acc * _TOKHASH_B + th[j : j + n]
+    return np.unique(acc)
 
 
 def minhash_signature(text: str, n_hashes: int = N_HASHES, k: int = 5) -> list[int]:
-    """Deterministic MinHash signature (k-token shingles)."""
-    sh = _shingles(text, k)
-    if not sh:
+    """Deterministic MinHash signature (k-token shingles), vectorized:
+    sig[i] = min over shingles of (a_i * x + b_i) mod p."""
+    x = _shingle_hashes((text or "").split(), k)
+    if x.size == 0:
         return [0] * n_hashes
-    base = np.array([_hash64(s, 0) for s in sorted(sh)], dtype=np.uint64)
-    x = base.astype(object)  # python ints: exact 61-bit modular arithmetic
-    sig = []
-    for i in range(n_hashes):
-        vals = (int(_HASH_A[i]) * x + int(_HASH_B[i])) % _MERSENNE
-        sig.append(int(vals.min()))
-    return sig
+    x31 = x >> np.uint64(33)  # 31-bit values keep a*x+b below 2^64
+    vals = (_HASH_A[:, None] * x31[None, :] + _HASH_B[:, None]) % np.uint64(_MERSENNE)
+    return [int(v) for v in vals.min(axis=1)]
 
 
 @pandas_udf(ArrayType(LongType()))
@@ -132,19 +152,17 @@ def minhash_candidates(
 # ---- simhash -------------------------------------------------------------
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (Charikar 2002)."""
+    """64-bit SimHash over whitespace tokens (Charikar 2002),
+    vectorized: per-bit ±1 accumulation across token hashes."""
     toks = (text or "").split()
     if not toks:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in toks:
-        h = _hash64(t.encode(), 1)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
+    hs = _token_hashes(toks)
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
     out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+    for i in np.flatnonzero(acc > 0):
+        out |= 1 << int(i)
     return out
 
 
