@@ -31,11 +31,15 @@ B = 0.75
 
 
 def tokens_col(text: Column | str) -> Column:
-    """Spark: plain text → array<string> of reference tokens."""
+    """Spark: plain text → array<string> of reference tokens.  NULL
+    text tokenizes as empty (the engine's textproc.tokenize(None) → []
+    semantics)."""
     c = F.col(text) if isinstance(text, str) else text
     cleaned = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(c), URL_CLASS, " "), NON_ALNUM, " "
+            F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), URL_CLASS, " "),
+            NON_ALNUM,
+            " ",
         )
     )
     arr = F.split(cleaned, " ")
@@ -46,7 +50,7 @@ def duckdb_tokens_sql(expr: str) -> str:
     """DuckDB: the same tokenizer as a SQL expression string."""
     return (
         "list_filter(string_split(trim(regexp_replace(regexp_replace("
-        f"lower({expr}), 'https?://[^ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), "
+        f"lower(coalesce({expr}, '')), 'https?://[^ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), "
         "'[^a-z0-9]+', ' ', 'g')), ' '), "
         "t -> regexp_matches(t, '^[a-z]+$') AND length(t) <= 30)"
     )

@@ -173,17 +173,25 @@ def doc_postings(
         udf = doc_postings_from_html_udf
     else:
         udf = doc_postings_stem_udf if stem else doc_postings_udf
+    # explode_outer keeps token-less documents as a null-term row, so
+    # doclens / n_docs / avgdl still count them (the DuckDB oracle and
+    # the reference's corpus stats do); the segment builder filters the
+    # null rows out.
     frag = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         udf(F.col(text_col)).alias("dp"),
-    ).select("doc_id", F.col("dp.dl").alias("dl"), F.explode("dp.postings").alias("p"))
+    ).select(
+        "doc_id", F.col("dp.dl").alias("dl"), F.explode_outer("dp.postings").alias("p")
+    )
     return frag.select(
         F.col("p.term").alias("term"),
         "doc_id",
         F.col("p.tf").alias("tf"),
         F.col("p.positions").alias("positions"),
         "dl",
-        F.pmod(F.xxhash64("p.term"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        F.coalesce(
+            F.pmod(F.xxhash64("p.term"), F.lit(n_buckets)).cast("int"), F.lit(0)
+        ).alias("bucket"),
         F.floor(F.col("doc_id") / F.lit(1 << chunk_bits)).cast("long").alias("chunk"),
     )
 
@@ -243,8 +251,10 @@ def build_segments(postings: DataFrame) -> DataFrame:
     The shuffle key is (bucket, term, chunk): term for locality, chunk
     (doc range) as the skew salt.  applyInPandas sorts each bounded
     group and emits ≤ ceil(group/128) block rows."""
-    return postings.groupBy("bucket", "term", "chunk").applyInPandas(
-        _encode_group, SEGMENT_SCHEMA
+    return (
+        postings.filter(F.col("term").isNotNull())  # token-less-doc sentinels
+        .groupBy("bucket", "term", "chunk")
+        .applyInPandas(_encode_group, SEGMENT_SCHEMA)
     )
 
 
