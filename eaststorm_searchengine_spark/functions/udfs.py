@@ -153,6 +153,10 @@ def anchor_hits_udf(html: pd.Series) -> pd.Series:
 # *within-row* computation, so they're built here in one vectorized pass
 # instead of an explode → groupBy(term, doc) → collect_list aggregation
 # (which allocates millions of tiny buffers JVM-side and anti-scales).
+from pyspark.sql.types import LongType as _LongType  # noqa: E402
+
+from .hashing import term_hash63  # noqa: E402
+
 _DOC_POSTINGS_TYPE = StructType(
     [
         StructField("dl", IntegerType()),
@@ -162,6 +166,7 @@ _DOC_POSTINGS_TYPE = StructType(
                 StructType(
                     [
                         StructField("term", StringType()),
+                        StructField("th", _LongType()),  # term_hash63
                         StructField("tf", IntegerType()),
                         StructField("positions", ArrayType(IntegerType())),
                     ]
@@ -172,11 +177,26 @@ _DOC_POSTINGS_TYPE = StructType(
 )
 
 
+_TH_CACHE: dict[str, int] = {}
+
+
+def _th(t: str) -> int:
+    h = _TH_CACHE.get(t)
+    if h is None:
+        h = term_hash63(t)
+        if len(_TH_CACHE) < 1_000_000:  # bounded per-worker cache
+            _TH_CACHE[t] = h
+    return h
+
+
 def _doc_postings(tokens: list[str]) -> list[dict]:
     acc: dict[str, list[int]] = {}
     for i, t in enumerate(tokens):
         acc.setdefault(t, []).append(i + 1)
-    return [{"term": t, "tf": len(ps), "positions": ps} for t, ps in acc.items()]
+    return [
+        {"term": t, "th": _th(t), "tf": len(ps), "positions": ps}
+        for t, ps in acc.items()
+    ]
 
 
 def _doc_postings_frame(token_lists: list[list[str]]) -> pd.DataFrame:

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from .. import textproc
 from ..functions import sqltok
+from ..functions.hashing import term_bucket
 from . import codec
 from .index_build import IndexPaths
 from .wand import wand_topk
@@ -55,19 +56,6 @@ class BM25Index:
         self.avgdl = float(self.stats["avgdl"])
         self.n_buckets = int(self.stats["n_buckets"])
 
-    # -- term metadata ----------------------------------------------------
-    def term_meta(self, terms: list[str]) -> dict[str, tuple[int, int]]:
-        """term → (df, bucket) in one small scan (term_stats carries the
-        bucket, so no separate hash job per query)."""
-        if not terms:
-            return {}
-        rows = (
-            self.spark.read.parquet(self.paths.term_stats)
-            .filter(F.col("term").isin(terms))
-            .collect()
-        )
-        return {r["term"]: (int(r["df"]), int(r["bucket"])) for r in rows}
-
     # -- search -----------------------------------------------------------
     def search(
         self,
@@ -81,37 +69,47 @@ class BM25Index:
         §3).  Query normalization matches the reference's
         ``q.toLowerCase().split("\\s+")`` (SearchServer.java:108) via the
         shared tokenizer; duplicate query terms are deduped (BM25 sums
-        distinct terms, matching the DuckDB oracle)."""
+        distinct terms, matching the DuckDB oracle).
+
+        Single-job plan: segment scan (bucket directory pruning from the
+        python-computable term hash + term predicate pushdown) ⋈
+        broadcast term_stats (per-term df → idf computed executor-side)
+        → per-chunk top-k → global rank.  Terms absent from the corpus
+        simply never match (== the reference's silent per-term
+        try/catch, SearchServer.java:117-148)."""
         qterms: dict[int, list[str]] = {
             qid: sorted(set(textproc.tokenize(q.lower()))) for qid, q in queries
         }
         all_terms = sorted({t for ts in qterms.values() for t in ts})
-        meta = self.term_meta(all_terms)
-        # terms absent from the corpus contribute nothing (df lookup miss
-        # == the reference's silent per-term try/catch, SearchServer.java:117-148)
-        idf = {t: bm25_idf(meta[t][0], self.n_docs) for t in all_terms if t in meta}
-        live_terms = sorted(idf)
 
         out_schema = "query_id int, doc_id long, score double"
-        if not live_terms:
+        if not all_terms:
             empty = self.spark.createDataFrame([], out_schema)
             return self._rank(empty, k, score_round)
 
-        buckets = sorted({meta[t][1] for t in live_terms})
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in all_terms})
+        stats = (
+            self.spark.read.parquet(self.paths.term_stats)
+            .filter(F.col("term").isin(all_terms))
+            .select("term", "df")
+        )
         segs = (
             self.spark.read.parquet(self.paths.segments)
             .filter(F.col("bucket").isin(buckets))  # partition pruning
-            .filter(F.col("term").isin(live_terms))
+            .filter(F.col("term").isin(all_terms))
             .select("term", "chunk", "first_doc", "last_doc", "n",
                     "max_tf", "min_dl", "docs", "tfs", "dls")
+            .join(F.broadcast(stats), "term")
         )
 
-        avgdl, n_docs = self.avgdl, self.n_docs
-        qmap = {qid: [t for t in ts if t in idf] for qid, ts in qterms.items()}
+        avgdl, n_docs, qmap = self.avgdl, self.n_docs, qterms
 
         def score_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
             by_term: dict[str, pd.DataFrame] = {
                 t: g.sort_values("first_doc") for t, g in pdf.groupby("term")
+            }
+            idf = {
+                t: bm25_idf(int(g["df"].iloc[0]), n_docs) for t, g in by_term.items()
             }
             out_rows = []
             for qid, terms in qmap.items():

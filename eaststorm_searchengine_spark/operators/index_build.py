@@ -183,6 +183,9 @@ def doc_postings(
     ).select(
         "doc_id", F.col("dp.dl").alias("dl"), F.explode_outer("dp.postings").alias("p")
     )
+    # bucket = term_hash63 % n_buckets — the hash comes from the UDF
+    # (functions/hashing.py), so query-side pruning predicates are
+    # computable in plain Python with no JVM hash round-trip
     return frag.select(
         F.col("p.term").alias("term"),
         "doc_id",
@@ -190,7 +193,7 @@ def doc_postings(
         F.col("p.positions").alias("positions"),
         "dl",
         F.coalesce(
-            F.pmod(F.xxhash64("p.term"), F.lit(n_buckets)).cast("int"), F.lit(0)
+            F.pmod(F.col("p.th"), F.lit(n_buckets)).cast("int"), F.lit(0)
         ).alias("bucket"),
         F.floor(F.col("doc_id") / F.lit(1 << chunk_bits)).cast("long").alias("chunk"),
     )
@@ -443,14 +446,7 @@ def build_index_resumable(
 # Fast path: map-side fragment build (the MapReduce-indexer shape)
 # ---------------------------------------------------------------------------
 
-def _bucket_of(term: str, n_buckets: int) -> int:
-    """Deterministic python-side term bucket (blake2b; no JVM hash
-    dependency — the query path reads the bucket from term_stats)."""
-    import hashlib
-
-    return int.from_bytes(
-        hashlib.blake2b(term.encode(), digest_size=8).digest(), "big"
-    ) % n_buckets
+from ..functions.hashing import term_bucket as _bucket_of  # noqa: E402
 
 
 def _make_fragment_gen(text_col: str, from_html: bool, stem: bool, n_buckets: int):
