@@ -25,7 +25,7 @@ from eaststorm_searchengine_spark.operators import (
     search,
     similarity,
 )
-from eaststorm_searchengine_spark.operators.index_build import build_index
+from eaststorm_searchengine_spark.operators.index_build import build_index_fast
 from eaststorm_searchengine_spark import corpus as corpus_mod
 
 # ---- fixed query set (FIXTURES.md §3: single/multi-term, stopword-heavy,
@@ -59,7 +59,7 @@ def _index_for(spark: SparkSession, sf_dir: str) -> bm25.BM25Index:
     root = os.path.join(_TMP, f"idx_{tag}")
     if not os.path.exists(os.path.join(root, "stats.json")):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        build_index(spark, docs, root)
+        build_index_fast(spark, docs, root)
     return bm25.BM25Index(spark, root)
 
 
