@@ -49,6 +49,13 @@ SAMPLE_TERMS = ["join", "dup", "window", "spark", "customer"]
 POSITION_TERM = "dup"
 ANN_QUERY_IDS = [0, 1, 2]
 ANN_K = 10
+PHRASES: list[tuple[int, str]] = [
+    (1, "hash join"),
+    (2, "merge sort"),
+    (3, "table scan"),
+    (4, "zz qq"),
+]
+NEAR_DUP_COS = 0.45
 
 _TMP = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_tmp")
 
@@ -333,6 +340,17 @@ def q_quality_scores(spark, sf_dir):
     return quality.quality_scores(_docs(spark, sf_dir))
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact-phrase BM25 top-k using the positions stored in the
+    compressed postings."""
+    return _index_for(spark, sf_dir).phrase_search(PHRASES, k=K, score_round=4)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_near_dup_pairs(emb, NEAR_DUP_COS)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvecs = [
@@ -444,6 +462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "phrase_search": q_phrase_search,
+        "embedding_near_dups": q_embedding_near_dups,
         # parity jobs + non-SQL ops (rows-only)
         "body_index": q_body_index,
         "title_index": q_title_index,
@@ -641,6 +661,23 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN n > 0 THEN n_stop::DOUBLE / n ELSE 0.0 END, 6) AS stopword_ratio,
                    round(CASE WHEN length(text) > 0 THEN alnum_chars::DOUBLE / length(text) ELSE 0.0 END, 6) AS alnum_ratio
             FROM st ORDER BY doc_id
+        """,
+        "phrase_search": sqltok.duckdb_phrase_topk_sql(PHRASES, K),
+        "embedding_near_dups": f"""
+            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            pairs AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     round(
+                       list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                x -> x[1]::DOUBLE * x[2]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(a.embedding, v -> v::DOUBLE * v::DOUBLE)))
+                          * sqrt(list_sum(list_transform(b.embedding, v -> v::DOUBLE * v::DOUBLE)))),
+                       6) AS cosine
+              FROM e a, e b
+              WHERE a.vec_id < b.vec_id)
+            SELECT vec_a, vec_b, cosine FROM pairs
+            WHERE cosine >= {NEAR_DUP_COS}
+            ORDER BY vec_a, vec_b
         """,
         "ann_cosine_topk": f"""
             WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings

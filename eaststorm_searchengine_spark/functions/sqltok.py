@@ -137,3 +137,79 @@ SELECT query_id, rank, doc_id, round(score, {score_round}) AS score
 FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+def duckdb_phrase_topk_sql(
+    phrases: list[tuple[int, str]],
+    k: int,
+    corpus: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_round: int = 4,
+) -> str:
+    """Phrase-search oracle: docs where the phrase tokens occur at
+    consecutive positions, BM25-ranked over the phrase's distinct
+    terms.  Positions come from DuckDB's lockstep unnest."""
+    import re as _re
+
+    toks = duckdb_tokens_sql(text_col)
+    parts = []
+    for qid, phrase in phrases:
+        terms = [
+            t
+            for t in _re.split(r"[ \t\n\x0b\f\r]+", phrase.lower())
+            if _re.fullmatch(r"[a-z]+", t) and len(t) <= 30
+        ]
+        if not terms:
+            continue
+        joins = ["FROM pos t0"]
+        conds = [f"t0.term = '{terms[0]}'"]
+        for i, t in enumerate(terms[1:], 1):
+            joins.append(
+                f"JOIN pos t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.p = t0.p + {i}"
+            )
+            conds.append(f"t{i}.term = '{t}'")
+        match_sql = (
+            "SELECT DISTINCT t0.doc_id "
+            + " ".join(joins)
+            + " WHERE "
+            + " AND ".join(conds)
+        )
+        terms_in = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        parts.append(
+            f"""
+            SELECT {qid} AS query_id, m.doc_id,
+                   sum({duckdb_idf_sql('d.df', '(SELECT n_docs FROM stats)')}
+                       * {duckdb_tf_norm_sql('t.tf', 'l.dl', '(SELECT avgdl FROM stats)')}) AS score
+            FROM ({match_sql}) m
+            JOIN tfc t ON t.doc_id = m.doc_id AND t.term IN ({terms_in})
+            JOIN dfc d ON d.term = t.term
+            JOIN doclen l ON l.doc_id = m.doc_id
+            GROUP BY m.doc_id
+            """
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+WITH corpus_tok AS (
+  SELECT {id_col} AS doc_id, {toks} AS tokens FROM {corpus}
+),
+doclen AS (SELECT doc_id, len(tokens) AS dl FROM corpus_tok),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+pos AS (
+  SELECT doc_id, unnest(tokens) AS term,
+         unnest(range(1, len(tokens)+1)) AS p
+  FROM corpus_tok
+),
+tfc AS (
+  SELECT doc_id, term, count(*) AS tf FROM
+  (SELECT doc_id, unnest(tokens) AS term FROM corpus_tok) GROUP BY doc_id, term
+),
+dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+scored AS ({union}),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, round(score, {score_round}) AS score
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""

@@ -130,6 +130,109 @@ class BM25Index:
         candidates = segs.groupBy("chunk").applyInPandas(score_chunk, out_schema)
         return self._rank(candidates, k, score_round)
 
+    def phrase_search(
+        self,
+        phrases: list[tuple[int, str]],
+        k: int = 10,
+        score_round: int | None = None,
+    ) -> DataFrame:
+        """Exact-phrase top-k: documents containing the query tokens at
+        consecutive positions, ranked by BM25 over the phrase terms.
+        This is what the positions stored in every posting
+        (north_star: "(docID, tf, positions)") buy: the check decodes
+        position lists only for documents that contain all terms.
+        Same distribution model as ``search``.
+        """
+        pterms: dict[int, list[str]] = {
+            qid: textproc.tokenize(p.lower()) for qid, p in phrases
+        }
+        all_terms = sorted({t for ts in pterms.values() for t in ts})
+        out_schema = "query_id int, doc_id long, score double"
+        if not all_terms:
+            return self._rank(self.spark.createDataFrame([], out_schema), k, score_round)
+
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in all_terms})
+        stats = (
+            self.spark.read.parquet(self.paths.term_stats)
+            .filter(F.col("term").isin(all_terms))
+            .select("term", "df")
+        )
+        segs = (
+            self.spark.read.parquet(self.paths.segments)
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(all_terms))
+            .select("term", "chunk", "first_doc", "n", "docs", "tfs", "dls", "pos")
+            .join(F.broadcast(stats), "term")
+        )
+        avgdl, n_docs, k1, b = self.avgdl, self.n_docs, sqltok.K1, sqltok.B
+
+        def match_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+            # decode each term's postings once per chunk
+            decoded: dict[str, tuple] = {}
+            dfs: dict[str, int] = {}
+            for t, g in pdf.groupby("term"):
+                g = g.sort_values("first_doc")
+                docs_l, tfs_l, dls_l, pos_l = [], [], [], []
+                for r in g.itertuples():
+                    d = codec.delta_decode(r.docs).astype(np.int64)
+                    tf = codec.vb_decode(r.tfs).astype(np.int64)
+                    docs_l.append(d)
+                    tfs_l.append(tf)
+                    dls_l.append(codec.vb_decode(r.dls).astype(np.int64))
+                    pos_l.extend(codec.decode_positions(r.pos, tf))
+                decoded[t] = (
+                    np.concatenate(docs_l),
+                    np.concatenate(tfs_l),
+                    np.concatenate(dls_l),
+                    pos_l,
+                )
+                dfs[t] = int(g["df"].iloc[0])
+            out_rows = []
+            for qid, terms in pterms.items():
+                if not terms or any(t not in decoded for t in terms):
+                    continue
+                # docs containing every term
+                cand = decoded[terms[0]][0]
+                for t in terms[1:]:
+                    cand = np.intersect1d(cand, decoded[t][0], assume_unique=True)
+                if cand.size == 0:
+                    continue
+                per_term_idx = {
+                    t: {int(d): i for i, d in enumerate(decoded[t][0])} for t in set(terms)
+                }
+                idf = {t: bm25_idf(dfs[t], n_docs) for t in set(terms)}
+                for d in cand:
+                    d = int(d)
+                    # positional check: positions(term_i) - i must intersect
+                    ok = np.asarray(decoded[terms[0]][3][per_term_idx[terms[0]][d]], dtype=np.int64)
+                    for i, t in enumerate(terms[1:], 1):
+                        nxt = np.asarray(decoded[t][3][per_term_idx[t][d]], dtype=np.int64) - i
+                        ok = np.intersect1d(ok, nxt, assume_unique=True)
+                        if ok.size == 0:
+                            break
+                    if ok.size == 0:
+                        continue
+                    score = 0.0
+                    for t in sorted(set(terms)):
+                        i = per_term_idx[t][d]
+                        tf = float(decoded[t][1][i])
+                        dl = float(decoded[t][2][i])
+                        score += idf[t] * (tf * (k1 + 1.0)) / (
+                            tf + k1 * (1.0 - b + b * dl / avgdl)
+                        )
+                    out_rows.append({"query_id": qid, "doc_id": d, "score": score})
+            df_out = pd.DataFrame(out_rows, columns=["query_id", "doc_id", "score"])
+            if len(df_out) > k:  # local top-k per chunk
+                df_out = (
+                    df_out.sort_values(["query_id", "score", "doc_id"],
+                                       ascending=[True, False, True])
+                    .groupby("query_id").head(k)
+                )
+            return df_out
+
+        candidates = segs.groupBy("chunk").applyInPandas(match_chunk, out_schema)
+        return self._rank(candidates, k, score_round)
+
     def _rank(self, candidates: DataFrame, k: int, score_round: int | None) -> DataFrame:
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id")

@@ -135,3 +135,30 @@ def lsh_cosine_topk(
         .select("query_id", "rank", "vec_id", "cosine")
         .orderBy("query_id", "rank")
     )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_round: int = 6,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (vec_a < vec_b,
+    cosine ≥ threshold).  Exact all-pairs is the correctness baseline
+    (oracle-checkable); the LSH-bucketed variants are the 10^12-row
+    path (bucket first, verify within buckets)."""
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    a = base.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    b = base.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(_cosine(F.col("va"), F.col("vb")), score_round))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
