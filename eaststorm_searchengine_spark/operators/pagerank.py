@@ -78,7 +78,15 @@ def build_host_graph(pages: DataFrame) -> DataFrame:
 def pagerank(links: DataFrame, max_iterations: int = MAX_ITERATIONS) -> DataFrame:
     """Iterate to the reference fixpoint → (host, rank).  Includes
     link-target-only hosts in the final rank table, as the reference's
-    last aggregation does (``PageRank.java:198-207``)."""
+    last aggregation does (``PageRank.java:198-207``).
+
+    Driver-round-trip economy (the 10^12-edge shape): exactly two jobs
+    per iteration — one ``localCheckpoint`` materializing the new ranks
+    (cuts lineage so 20 iterations don't stack a 20-deep plan) and ONE
+    fused aggregation that returns both scalars the loop needs: the
+    dangling mass of the *current* ranks and the L1 delta vs the
+    previous iteration.  The static out-degree rides in the rank frame
+    (``nd``), so the dangling sum needs no join."""
     spark = links.sparkSession
     links = links.localCheckpoint()
     n_hosts = links.count()
@@ -86,17 +94,41 @@ def pagerank(links: DataFrame, max_iterations: int = MAX_ITERATIONS) -> DataFram
         return spark.createDataFrame([], "host string, rank double")
     init = 1.0 / n_hosts
 
-    ranks = links.select("host", F.lit(init).alias("rank"))
-    old_ranks = ranks
+    # nd = out-degree (static per host); -1 marks link-target-only hosts
+    # that receive rank but are not graph nodes
+    ranks = links.select("host", F.lit(init).alias("rank"), F.size("dsts").alias("nd"))
+    old_ranks = None
+
+    def fused_stats(cur: DataFrame, prev: DataFrame | None) -> tuple[float, float | None]:
+        """One job → (dangling mass of cur, L1 diff vs prev or None).
+        Dangling counts only graph nodes (nd >= 0), matching the
+        reference's join-then-filter (PageRank.java:140-156)."""
+        dang = cur.select(
+            F.lit("dang").alias("k"),
+            F.when(F.col("nd") == 0, F.col("rank")).otherwise(F.lit(0.0)).alias("v"),
+        )
+        if prev is None:
+            rows = dang.groupBy("k").agg(F.sum("v").alias("s")).collect()
+            m = {r["k"]: r["s"] for r in rows}
+            return float(m.get("dang") or 0.0), None
+        diff = (
+            prev.select("host", F.col("rank").alias("old"))
+            .join(cur.select("host", "rank"), "host", "inner")
+            .select(F.lit("diff").alias("k"), F.abs(F.col("rank") - F.col("old")).alias("v"))
+        )
+        rows = dang.unionByName(diff).groupBy("k").agg(F.sum("v").alias("s")).collect()
+        m = {r["k"]: r["s"] for r in rows}
+        return float(m.get("dang") or 0.0), float(m.get("diff") or 0.0)
+
+    out_degrees = links.select("host", F.size("dsts").alias("nd2"))
 
     for it in range(max_iterations):
-        joined = links.join(ranks, "host", "inner")
-        # dangling mass (PageRank.java:140-167)
-        dangling = (
-            joined.filter(F.size("dsts") == 0).agg(F.sum("rank").alias("s")).collect()[0]["s"]
-        ) or 0.0
+        dangling, diff = fused_stats(ranks, old_ranks)
+        if it > 0 and diff is not None and diff < CONVERGENCE_THRESHOLD * n_hosts:
+            return ranks.select("host", "rank")
         dangling_contribution = dangling / n_hosts
 
+        joined = links.join(ranks.select("host", "rank"), "host", "inner")
         contribs = joined.select(
             F.explode(
                 F.concat(
@@ -123,21 +155,13 @@ def pagerank(links: DataFrame, max_iterations: int = MAX_ITERATIONS) -> DataFram
                     8,
                 ).alias("rank"),
             )
+            .join(out_degrees, "host", "left")
+            .select("host", "rank", F.coalesce("nd2", F.lit(-1)).alias("nd"))
             .localCheckpoint()
         )
-
-        if it > 0:
-            diff = (
-                old_ranks.select("host", F.col("rank").alias("old"))
-                .join(new_ranks, "host", "inner")
-                .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
-                .collect()[0]["d"]
-            ) or 0.0
-            if diff < CONVERGENCE_THRESHOLD * n_hosts:
-                return new_ranks
         old_ranks = ranks
         ranks = new_ranks
-    return ranks
+    return ranks.select("host", "rank")
 
 
 def final_report(ranks: DataFrame) -> DataFrame:

@@ -119,7 +119,6 @@ def _python_pagerank(page_rows):
     n = len(adj)
     init = 1.0 / n
     ranks = {h: init for h in adj}
-    old = dict(ranks)
     for it in range(pagerank.MAX_ITERATIONS):
         joined = {h: ranks[h] for h in adj if h in ranks}
         dangling = sum(r for h, r in joined.items() if not adj[h])
@@ -135,13 +134,12 @@ def _python_pagerank(page_rows):
             h: _round8((1 - pagerank.DECAY) / n + pagerank.DECAY * (inc + dc))
             for h, inc in incoming.items()
         }
+        # reference convergence: consecutive iterations (the transition
+        # just computed), returning the NEW ranks (PageRank.java:213-236)
         if it > 0:
-            diff = sum(
-                abs(new_ranks[h] - old[h]) for h in old if h in new_ranks
-            )
+            diff = sum(abs(new_ranks[h] - ranks[h]) for h in ranks if h in new_ranks)
             if diff < pagerank.CONVERGENCE_THRESHOLD * n:
                 return new_ranks
-        old = ranks
         ranks = new_ranks
     return ranks
 

@@ -74,3 +74,17 @@ def test_aggregation_has_partial_stage(spark):
     df = docs.groupBy("lang").count()
     plan = inspect.formatted_plan(df)
     assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_search_plan_prunes_and_broadcasts(spark, idx_root):
+    import __spark_entry__ as E
+    from eaststorm_searchengine_spark.operators.bm25 import BM25Index
+
+    idx = BM25Index(spark, idx_root)
+    df = idx.search([(1, "hash join")], k=5)
+    plan = inspect.formatted_plan(df)
+    # segment scan prunes bucket directories and pushes the term filter
+    assert "bucket" in inspect.partition_filters(df)
+    assert "term" in inspect.pushed_filters(df)
+    # per-term df stats arrive via broadcast join, not a shuffle
+    assert "BroadcastHashJoin" in plan
