@@ -55,6 +55,17 @@ class BM25Index:
         self.n_docs = int(self.stats["n_docs"])
         self.avgdl = float(self.stats["avgdl"])
         self.n_buckets = int(self.stats["n_buckets"])
+        self.stem = bool(self.stats.get("stem", False))
+
+    def _analyze(self, q: str) -> list[str]:
+        """Query analyzer == index analyzer (stemming follows the
+        index's build-time setting recorded in stats.json)."""
+        toks = textproc.tokenize(q.lower())
+        if self.stem:
+            from ..stemmer import porter_stem
+
+            toks = [porter_stem(t) for t in toks]
+        return toks
 
     # -- search -----------------------------------------------------------
     def search(
@@ -78,7 +89,7 @@ class BM25Index:
         simply never match (== the reference's silent per-term
         try/catch, SearchServer.java:117-148)."""
         qterms: dict[int, list[str]] = {
-            qid: sorted(set(textproc.tokenize(q.lower()))) for qid, q in queries
+            qid: sorted(set(self._analyze(q))) for qid, q in queries
         }
         all_terms = sorted({t for ts in qterms.values() for t in ts})
 
@@ -144,7 +155,7 @@ class BM25Index:
         Same distribution model as ``search``.
         """
         pterms: dict[int, list[str]] = {
-            qid: textproc.tokenize(p.lower()) for qid, p in phrases
+            qid: self._analyze(p) for qid, p in phrases
         }
         all_terms = sorted({t for ts in pterms.values() for t in ts})
         out_schema = "query_id int, doc_id long, score double"
