@@ -70,6 +70,15 @@ def _index_for(spark: SparkSession, sf_dir: str) -> bm25.BM25Index:
     return bm25.BM25Index(spark, root)
 
 
+def _stemmed_index_for(spark: SparkSession, sf_dir: str) -> bm25.BM25Index:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_TMP, f"idx_stem_{tag}")
+    if not os.path.exists(os.path.join(root, "stats.json")):
+        build_index_fast(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                         root, stem=True)
+    return bm25.BM25Index(spark, root)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -96,6 +105,13 @@ def q_bm25_topk_wand(spark, sf_dir):
 
 def q_bm25_topk_dataframe(spark, sf_dir):
     return bm25.bm25_score_dataframe(spark, _docs(spark, sf_dir), QUERY_SET, k=K)
+
+
+def q_bm25_topk_stemmed(spark, sf_dir):
+    """Porter-stemmed analyzer variant (north_star); rows-only — the
+    stemmer has no SQL oracle, pytest covers it against the 1980
+    paper's vectors and an end-to-end retrieval check."""
+    return _stemmed_index_for(spark, sf_dir).search(QUERY_SET, k=K, score_round=4)
 
 
 def q_term_df(spark, sf_dir):
@@ -438,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_wand": q_bm25_topk_wand,
         "bm25_topk_dataframe": q_bm25_topk_dataframe,
+        "bm25_topk_stemmed": q_bm25_topk_stemmed,
         "term_df": q_term_df,
         "corpus_stats": q_corpus_stats,
         "doclens": q_doclens,

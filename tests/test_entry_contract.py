@@ -68,6 +68,8 @@ def test_oracle_match(spark, ddb, name):
 
 # expected minimum row counts for the rows-only queries at sf0.01
 _MIN_ROWS = {
+    "bm25_topk_stemmed": 50,
+    "phrase_search": 1,
     "body_index": 10,
     "title_index": 5,
     "url_index": 5,
