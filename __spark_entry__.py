@@ -60,6 +60,13 @@ NEAR_DUP_COS = 0.45
 _TMP = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_tmp")
 
 
+def _csv(col) -> F.Column:
+    """Serialize an array column to a comma-joined string — the driver's
+    canonicalizer (pandas sort/factorize) requires scalar column types,
+    so every contract query returns atomic columns only."""
+    return F.array_join(F.transform(col, lambda x: x.cast("string")), ",")
+
+
 def _index_for(spark: SparkSession, sf_dir: str) -> bm25.BM25Index:
     """Build-once cache of the segment index per scale factor."""
     tag = os.path.basename(os.path.normpath(sf_dir))
@@ -335,7 +342,16 @@ def q_region_customer_counts(spark, sf_dir):
 
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dup_groups(_docs(spark, sf_dir)).select(
-        "text_hash", "n_docs", F.col("doc_ids").cast("array<long>").alias("doc_ids")
+        "text_hash", "n_docs", _csv("doc_ids").alias("doc_ids")
+    )
+
+
+def q_dedup_prefix(spark, sf_dir):
+    """Non-vacuous dedup evidence: sf0.01 has no byte-identical full
+    texts but does have 64-char-prefix collisions, so this exercises the
+    hash-groupBy + collect path with real data."""
+    return dedup.prefix_dup_groups(_docs(spark, sf_dir), prefix_len=64).select(
+        "prefix_hash", "n_docs", _csv("doc_ids").alias("doc_ids")
     )
 
 
@@ -385,24 +401,42 @@ def _pages(spark, sf_dir):
     return corpus_mod.synthesize_pages(spark, sf_dir)
 
 
+def _url_set_index(idx: DataFrame) -> DataFrame:
+    """term → sorted url set, urls serialized for the driver's scalar
+    canonicalizer (the typed ``array<string>`` form stays the operator
+    API; serialization happens only at this contract boundary)."""
+    return idx.select("term", _csv("urls").alias("urls"))
+
+
 def q_body_index(spark, sf_dir):
-    return indexers.body_index(_pages(spark, sf_dir))
+    return _url_set_index(indexers.body_index(_pages(spark, sf_dir)))
 
 
 def q_title_index(spark, sf_dir):
-    return indexers.title_index(_pages(spark, sf_dir))
+    return _url_set_index(indexers.title_index(_pages(spark, sf_dir)))
 
 
 def q_url_index(spark, sf_dir):
-    return indexers.url_index(_pages(spark, sf_dir))
+    return _url_set_index(indexers.url_index(_pages(spark, sf_dir)))
 
 
 def q_anchor_index(spark, sf_dir):
-    return indexers.anchor_index(_pages(spark, sf_dir))
+    """Anchor postings exploded to scalar rows (term, rk, url,
+    positions-csv); rk preserves the hit-count-desc posting order."""
+    idx = indexers.anchor_index(_pages(spark, sf_dir))
+    return (
+        idx.select("term", F.posexplode("postings").alias("rk", "p"))
+        .select(
+            "term",
+            (F.col("rk") + 1).cast("long").alias("rk"),
+            F.col("p.url").alias("url"),
+            _csv("p.positions").alias("positions"),
+        )
+    )
 
 
 def q_imagealt_index(spark, sf_dir):
-    return indexers.imagealt_index(_pages(spark, sf_dir))
+    return _url_set_index(indexers.imagealt_index(_pages(spark, sf_dir)))
 
 
 def q_pagerank(spark, sf_dir):
@@ -424,7 +458,9 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 def q_simhash_buckets(spark, sf_dir):
-    return dedup.simhash_buckets(_docs(spark, sf_dir))
+    return dedup.simhash_buckets(_docs(spark, sf_dir)).select(
+        "bucket", "n_docs", _csv("doc_ids").alias("doc_ids")
+    )
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -475,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         # pipeline ops (oracle-checked)
         "dedup_exact": q_dedup_exact,
+        "dedup_prefix": q_dedup_prefix,
         "lang_distribution": q_lang_distribution,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
@@ -652,9 +689,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs,
-                   list_sort(list(doc_id)) AS doc_ids
+                   array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
             FROM documents GROUP BY md5(text) HAVING count(*) > 1
             ORDER BY text_hash
+        """,
+        "dedup_prefix": """
+            SELECT md5(substr(text, 1, 64)) AS prefix_hash, count(*)::BIGINT AS n_docs,
+                   array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+            ORDER BY prefix_hash
         """,
         "lang_distribution": """
             SELECT lang, count(*)::BIGINT AS n FROM documents
@@ -678,6 +721,26 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN n > 0 THEN n_stop::DOUBLE / n ELSE 0.0 END, 6) AS stopword_ratio,
                    round(CASE WHEN length(text) > 0 THEN alnum_chars::DOUBLE / length(text) ELSE 0.0 END, 6) AS alnum_ratio
             FROM st ORDER BY doc_id
+        """,
+        "lang_id": _lang_id_oracle_sql(),
+        "ngram_jaccard": f"""
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            g AS (SELECT doc_id,
+                    list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+                                                 i -> array_to_string(t[i + 1 : i + 3], ' '))) AS grams
+                  FROM toks),
+            k AS (SELECT doc_id, unnest(list_sort(grams)[1:2]) AS key FROM g),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id),
+            j AS (SELECT c.doc_a, c.doc_b,
+                    round(len(list_intersect(ga.grams, gb.grams))::DOUBLE
+                          / (len(ga.grams) + len(gb.grams)
+                             - len(list_intersect(ga.grams, gb.grams))), 6) AS jaccard
+                  FROM cand c
+                  JOIN g ga ON ga.doc_id = c.doc_a
+                  JOIN g gb ON gb.doc_id = c.doc_b)
+            SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+            ORDER BY doc_a, doc_b
         """,
         "phrase_search": sqltok.duckdb_phrase_topk_sql(PHRASES, K),
         "embedding_near_dups": f"""
@@ -720,3 +783,34 @@ def oracle_sql() -> dict[str, str]:
 
 def _sql_str_list(items) -> str:
     return "[" + ", ".join(f"'{s}'" for s in items) + "]"
+
+
+def _lang_id_oracle_sql() -> str:
+    """Mirror of quality.lang_id: argmax over per-language marker hit
+    counts, tie-break language code ascending, 'und' when zero hits.
+    Generated from the same marker lists so engine and oracle can't
+    drift."""
+    langs = sorted(quality._LANG_MARKERS)
+    hit_cols = ",\n                   ".join(
+        f"len(list_filter(tokens, t -> list_contains({_sql_str_list(quality._LANG_MARKERS[lg])}, t))) AS h_{lg}"
+        for lg in langs
+    )
+    all_hits = ", ".join(f"h_{lg}" for lg in langs)
+    # ascending-language priority: the first lang that is >= all later
+    # ones wins a tie (== Spark's array_min over (neg_hits, lang) structs)
+    cases = []
+    for i, lg in enumerate(langs[:-1]):
+        conds = " AND ".join(f"h_{lg} >= h_{other}" for other in langs[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{lg}'")
+    case_sql = "\n                        ".join(cases)
+    return f"""
+            WITH tok AS (SELECT doc_id, {_TOK} AS tokens FROM documents),
+            h AS (SELECT doc_id,
+                   {hit_cols}
+                  FROM tok)
+            SELECT doc_id,
+                   CASE WHEN greatest({all_hits}) = 0 THEN 'und'
+                        {case_sql}
+                        ELSE '{langs[-1]}' END AS pred_lang
+            FROM h ORDER BY doc_id
+        """

@@ -38,6 +38,26 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def prefix_dup_groups(
+    docs: DataFrame, prefix_len: int = 64, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of texts sharing the first ``prefix_len`` characters —
+    the cheap blocking stage of boilerplate/template detection (and a
+    non-vacuous exercise of the hash-groupBy dedup path on corpora with
+    no byte-identical full texts).  Same shuffle shape as
+    :func:`exact_dup_groups`: one shuffle keyed on a 128-bit digest."""
+    return (
+        docs.select(
+            F.md5(F.substring(F.col(text_col), 1, prefix_len)).alias("prefix_hash"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .groupBy("prefix_hash")
+        .agg(F.count("*").cast("long").alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("prefix_hash")
+    )
+
+
 def distinct_texts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the min-id representative per distinct text (exact dedup
     keep-one policy)."""

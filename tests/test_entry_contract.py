@@ -93,6 +93,21 @@ def test_rows_only_smoke(spark, name):
     assert n >= _MIN_ROWS[name], f"{name}: {n} rows < {_MIN_ROWS[name]}"
 
 
+@pytest.mark.parametrize("name", sorted(E.queries().keys()))
+def test_scalar_columns_only(spark, name):
+    """The driver's canonicalizer (pandas sort_values/factorize over all
+    columns) crashes on array/map/struct columns — every contract query
+    must return atomic column types (CORRECTNESS_r01 regression)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = E.queries()[name](spark, SF)
+    complex_cols = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, f"{name}: complex-typed columns {complex_cols}"
+
+
 def test_entry_smoke(spark):
     df = E.entry(spark)
     assert df.count() > 0
