@@ -1,0 +1,89 @@
+"""Similarity-search operators: blocked exact near-dup pairs (the
+production path) vs the naive all-pairs baseline, LSH near-dup recall
+on planted duplicates, and plan assertions (no Cartesian products)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from eaststorm_searchengine_spark.operators import similarity
+from eaststorm_searchengine_spark.plans import inspect
+
+SF = "/root/testdata/sf0.01"
+
+
+def _rows(df):
+    return sorted((r.vec_a, r.vec_b, r.cosine) for r in df.collect())
+
+
+def test_blocked_near_dup_matches_allpairs(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = _rows(similarity.cosine_near_dup_pairs(emb, 0.45))
+    want = _rows(similarity.cosine_near_dup_pairs_allpairs(emb, 0.45))
+    assert len(want) > 0
+    assert got == want
+
+
+def test_blocked_near_dup_odd_block_count(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = _rows(similarity.cosine_near_dup_pairs(emb, 0.45, n_blocks=3))
+    want = _rows(similarity.cosine_near_dup_pairs_allpairs(emb, 0.45))
+    assert got == want
+
+
+def test_blocked_near_dup_plan_has_no_cartesian(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = similarity.cosine_near_dup_pairs(emb, 0.45)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def _planted_corpus(spark, n=200, dim=16, n_dups=12, seed=3):
+    """Random unit vectors plus planted near-duplicates at cosine ≥0.9."""
+    rng = np.random.RandomState(seed)
+    vecs = rng.standard_normal((n, dim))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    for j in range(n_dups):
+        base = vecs[j]
+        noise = rng.standard_normal(dim) * 0.12
+        v = base + noise
+        v /= np.linalg.norm(v)
+        rows.append((n + j, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_lsh_near_dup_pairs_recall_and_precision(spark):
+    emb = _planted_corpus(spark)
+    exact = _rows(similarity.cosine_near_dup_pairs_allpairs(emb, 0.8))
+    got = _rows(similarity.lsh_near_dup_pairs(emb, 0.8))
+    assert len(exact) >= 10
+    # precision is exact by construction (verify step); recall ≥ 0.9
+    assert set(got) <= set(exact)
+    assert len(got) / len(exact) >= 0.9, (len(got), len(exact))
+
+
+def test_lsh_near_dup_plan_has_no_cartesian(spark):
+    emb = _planted_corpus(spark, n=50, n_dups=4)
+    plan = inspect.formatted_plan(similarity.lsh_near_dup_pairs(emb, 0.8))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_multiprobe_lsh_ann_recall(spark):
+    """Hamming-1 multi-probe must recover ≥0.9 of the exact top-10."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvecs = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").isin([0, 1, 2])).collect()
+    ]
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.cosine_topk(emb, qvecs, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in similarity.lsh_cosine_topk(emb, qvecs, k=10).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.9, len(approx & exact) / len(exact)
