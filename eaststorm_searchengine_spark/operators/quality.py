@@ -86,23 +86,43 @@ _FP_BASE = 1000003
 _FP_MOD = (1 << 61) - 1
 
 
+def _tok_hashes32(tokens: list[str]) -> "object":
+    """Vectorized 32-bit FNV-1a per token (unique tokens hashed once
+    via a padded byte matrix; bit-identical to the scalar loop)."""
+    import numpy as np
+
+    uniq_arr, inv = np.unique(np.asarray(tokens, dtype=object), return_inverse=True)
+    enc = [t.encode() for t in uniq_arr]
+    lens = np.fromiter((len(b) for b in enc), count=len(enc), dtype=np.int64)
+    maxlen = int(lens.max()) if len(lens) else 0
+    h = np.full(len(enc), 2166136261, dtype=np.uint64)
+    if maxlen:
+        flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+        offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        pos = np.arange(maxlen)
+        idx = offs[:, None] + pos[None, :]
+        valid = pos[None, :] < lens[:, None]
+        mat = np.zeros((len(enc), maxlen), dtype=np.uint64)
+        mat[valid] = flat[idx[valid]]
+        prime = np.uint64(16777619)
+        mask = np.uint64(0xFFFFFFFF)
+        for j in range(maxlen):
+            h = np.where(valid[:, j], ((h ^ mat[:, j]) * prime) & mask, h)
+    return h[inv]
+
+
 @pandas_udf(LongType())
 def fingerprint_udf(text: pd.Series) -> pd.Series:
     """Rolling polynomial hash fingerprint: min over 8-token windows
     (winnowing-lite; Schleimer et al. 2003, public literature).  Token
-    hash is FNV-1a (seed-independent, unlike Python's hash())."""
-
-    def tok_hash(t: str) -> int:
-        h = 2166136261
-        for ch in t.encode():
-            h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
-        return h
+    hash is FNV-1a (seed-independent, unlike Python's hash()),
+    vectorized across tokens."""
 
     def fp(s: str) -> int:
         toks = (s or "").split()
         if not toks:
             return 0
-        hs = [tok_hash(t) for t in toks]
+        hs = [int(x) for x in _tok_hashes32(toks)]
         window = 8
         if len(hs) < window:
             acc = 0
