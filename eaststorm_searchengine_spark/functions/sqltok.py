@@ -46,6 +46,19 @@ def tokens_col(text: Column | str) -> Column:
     return F.filter(arr, lambda t: t.rlike(TOKEN_OK) & (F.length(t) <= 30))
 
 
+def tokens_py(text: str | None) -> list[str]:
+    """Pure-Python mirror of :func:`tokens_col` /
+    :func:`duckdb_tokens_sql` — used by the query analyzer so that a
+    punctuated query ('hash-join', "spark's") tokenizes exactly like
+    indexed text and like the oracle's query tokenizer."""
+    import re
+
+    s = (text or "").lower()
+    s = re.sub(r"https?://[^ \t\n\x0B\f\r]+", " ", s)
+    s = re.sub(r"[^a-z0-9]+", " ", s)
+    return [t for t in s.split(" ") if t and re.fullmatch(r"[a-z]+", t) and len(t) <= 30]
+
+
 def duckdb_tokens_sql(expr: str) -> str:
     """DuckDB: the same tokenizer as a SQL expression string."""
     return (

@@ -50,17 +50,23 @@ class BM25Index:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.paths = IndexPaths(root)
-        with open(self.paths.stats) as f:
-            self.stats = json.load(f)
+        from ..sources import fsio
+
+        self.stats = json.loads(fsio.read_text(spark, self.paths.stats))
         self.n_docs = int(self.stats["n_docs"])
         self.avgdl = float(self.stats["avgdl"])
         self.n_buckets = int(self.stats["n_buckets"])
         self.stem = bool(self.stats.get("stem", False))
 
     def _analyze(self, q: str) -> list[str]:
-        """Query analyzer == index analyzer (stemming follows the
-        index's build-time setting recorded in stats.json)."""
-        toks = textproc.tokenize(q.lower())
+        """Query analyzer == index analyzer: the shared sqltok
+        normalization (lowercase → URL strip → non-alnum → space →
+        [a-z]+ ≤30) so punctuated queries ('hash-join') yield the same
+        terms the index and the DuckDB oracle see; stemming follows the
+        index's build-time setting recorded in stats.json."""
+        from ..functions.sqltok import tokens_py
+
+        toks = tokens_py(q)
         if self.stem:
             from ..stemmer import porter_stem
 

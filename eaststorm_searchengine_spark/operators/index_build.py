@@ -64,6 +64,7 @@ from ..functions.udfs import (
     tokenize_udf,
 )
 from . import codec
+from ..sources import fsio
 
 CHUNK_BITS = 18  # 262,144 docs per chunk → bounded (term, chunk) groups
 MIN_CHUNK_BITS = 10
@@ -362,9 +363,7 @@ def build_index(
         "b": sqltok.B,
         "build_sec": time.time() - t0,
     }
-    os.makedirs(out_dir, exist_ok=True)
-    with open(paths.stats, "w") as f:
-        json.dump(stats, f, indent=2)
+    fsio.write_text(spark, paths.stats, json.dumps(stats, indent=2))
     return stats
 
 
@@ -386,14 +385,17 @@ def build_index_resumable(
     ``fail_after`` (tests only): raise after that many parts commit,
     simulating a mid-build crash."""
     paths = IndexPaths(out_dir)
-    os.makedirs(paths.root, exist_ok=True)
-    os.makedirs(paths.commits, exist_ok=True)
+    # all metadata IO goes through the Hadoop FileSystem API so the
+    # whole index root (segments + stats + commit markers) lives on one
+    # filesystem — hdfs://, s3a://, or file: alike (resume survives a
+    # driver replacement)
+    fsio.mkdirs(spark, paths.commits)
 
     # stats pass (cheap relative to the build; itself checkpointed)
-    if not os.path.exists(os.path.join(paths.commits, "doclens.done")):
+    if not fsio.exists(spark, os.path.join(paths.commits, "doclens.done")):
         tokens_all = tokenize_docs(docs, id_col, text_col)
         tokens_all.select("doc_id", "dl").write.mode("overwrite").parquet(paths.doclens)
-        open(os.path.join(paths.commits, "doclens.done"), "w").close()
+        fsio.write_text(spark, os.path.join(paths.commits, "doclens.done"), "")
     doclens = spark.read.parquet(paths.doclens)
     agg = doclens.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(agg["n_docs"]), float(agg["avgdl"] or 0.0)
@@ -410,7 +412,7 @@ def build_index_resumable(
     done = 0
     for j in range(n_jobs):
         marker = os.path.join(paths.commits, f"part-{j}.done")
-        if os.path.exists(marker):
+        if fsio.exists(spark, marker):
             continue
         part_docs = docs.filter(
             (F.col(id_col) >= lo + j * span) & (F.col(id_col) < lo + (j + 1) * span)
@@ -422,8 +424,10 @@ def build_index_resumable(
         build_segments(part_postings).write.mode("overwrite").parquet(
             os.path.join(paths.segments, f"part={j}")
         )
-        with open(marker, "w") as f:
-            json.dump({"part": j, "lo": lo + j * span, "hi": lo + (j + 1) * span}, f)
+        fsio.write_text(
+            spark, marker,
+            json.dumps({"part": j, "lo": lo + j * span, "hi": lo + (j + 1) * span}),
+        )
         done += 1
         if fail_after is not None and done >= fail_after:
             raise RuntimeError(f"simulated crash after {done} parts")
@@ -437,8 +441,7 @@ def build_index_resumable(
         "resumable": True,
         "n_jobs": n_jobs,
     }
-    with open(paths.stats, "w") as f:
-        json.dump(stats, f, indent=2)
+    fsio.write_text(spark, paths.stats, json.dumps(stats, indent=2))
     return stats
 
 
@@ -616,7 +619,5 @@ def build_index_fast(
         "b": sqltok.B,
         "build_sec": time.time() - t0,
     }
-    os.makedirs(out_dir, exist_ok=True)
-    with open(paths.stats, "w") as f:
-        json.dump(stats, f, indent=2)
+    fsio.write_text(spark, paths.stats, json.dumps(stats, indent=2))
     return stats

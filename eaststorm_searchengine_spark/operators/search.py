@@ -103,8 +103,14 @@ def composite_search(
         F.col("r0") <= limit_intermediate
     )
 
+    # blank titles fall back to the url like the reference's
+    # t.isBlank() check (SearchServer.java) — not just NULL titles
+    raw_title = extract_title_udf("html")
     titles = pages.select(
-        "url", F.coalesce(extract_title_udf("html"), F.col("url")).alias("title")
+        "url",
+        F.coalesce(
+            F.when(F.trim(raw_title) != "", raw_title), F.col("url")
+        ).alias("title"),
     )
     qmeta = F.broadcast(
         spark.createDataFrame(

@@ -125,7 +125,7 @@ def refresh_metadata(spark: SparkSession, index_dir: str, n_buckets: int = ib.DE
         "k1": 1.2,
         "b": 0.75,
     }
-    os.makedirs(index_dir, exist_ok=True)
-    with open(paths.stats, "w") as f:
-        json.dump(stats, f, indent=2)
+    from ..sources import fsio
+
+    fsio.write_text(spark, paths.stats, json.dumps(stats, indent=2))
     return stats

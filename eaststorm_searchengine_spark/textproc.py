@@ -37,6 +37,15 @@ _ALNUM_TOKEN_RE = re.compile(r"[a-z][a-z0-9]*")
 _DIGITS_RE = re.compile(r"\d+")
 
 
+def utf16_len(s: str) -> int:
+    """Java ``String.length()``: UTF-16 code units, not codepoints —
+    astral chars (emoji etc.) count 2.  All reference length thresholds
+    compare against this."""
+    if s.isascii():
+        return len(s)
+    return len(s) + sum(1 for ch in s if ch > "\uffff")
+
+
 def java_trim(s: str) -> str:
     """Java ``String.trim()``: strip leading/trailing chars <= U+0020."""
     start, end = 0, len(s)
@@ -64,11 +73,11 @@ def extract_text(html: str | None) -> str:
         block = _TAG_RE.sub(" ", m.group(2))
         block = _JWS_RUN_RE.sub(" ", block)
         block = java_trim(block)
-        if len(block) > 50:  # keep likely paragraphs
+        if utf16_len(block) > 50:  # keep likely paragraphs (UTF-16 units)
             parts.append(block + "\n")
     # Step 3: fallback if extracted too little (Indexer.java:109-112)
     text = java_trim("".join(parts))
-    if len(text) < 80:
+    if utf16_len(text) < 80:
         text = java_trim(_JWS_RUN_RE.sub(" ", _TAG_RE.sub(" ", html)))
     # Step 4: normalize (Indexer.java:115-117)
     text = text.lower()
@@ -286,8 +295,11 @@ def extract_title(html: str | None) -> str | None:
     title = title.replace("&lt;", "<").replace("&gt;", ">")
     title = title.replace("&quot;", '"').replace("&#39;", "'")
     title = java_trim(_OTHER_ENTITY_RE.sub(" ", title))
-    if len(title) > 200:
-        title = title[:197] + "..."
+    if utf16_len(title) > 200:
+        # Java substring(0, 197) cuts UTF-16 units (may split a
+        # surrogate pair, exactly like the reference)
+        u16 = title.encode("utf-16-le", "surrogatepass")[: 197 * 2]
+        title = u16.decode("utf-16-le", "surrogatepass") + "..."
     return title
 
 
@@ -309,6 +321,28 @@ def extract_links(html: str | None) -> list[str]:
             if val:
                 out.append(java_trim(val))
     return [v for v in out if v]
+
+
+def is_non_english_wikipedia(url: str | None) -> bool:
+    """Pre-download filter for ``<lang>.wikipedia.org`` hosts other
+    than ``en``/``www``. Reference: ``jobs/Crawler.java:790-814``
+    (uses URLParser.parseURL's host, lowercased; parse failure or a
+    null host → False)."""
+    if url is None:
+        return False
+    try:
+        _, host, _, _ = parse_url(url)
+    except Exception:
+        return False
+    if host is None:
+        return False
+    host = host.lower()
+    if "wikipedia.org" in host:
+        parts = host.split(".")
+        if len(parts) >= 2:
+            lang_code = parts[0]
+            return lang_code != "en" and lang_code != "www"
+    return False
 
 
 def is_english_content(html: str | None) -> bool:
@@ -488,17 +522,25 @@ def normalize_url(base: str, href: str | None) -> str | None:
         return None
 
 
+_URI_HOST_OK_RE = re.compile(r"^[A-Za-z0-9.\-]+$")
+
+
 def extract_host(url: str | None) -> str | None:
     """Lowercased host of a URL (``java.net.URI.getHost()`` analogue);
     used by PageRank graph build (``jobs/PageRank.java:53-63``) and the
-    ranker's PageRank blend (``jobs/SearchServer.java:160-163``)."""
+    ranker's PageRank blend (``jobs/SearchServer.java:160-163``).
+    ``URI.getHost()`` returns null for RFC-2396-illegal reg-name hosts
+    (e.g. underscores); urlparse accepts them, so mirror the rejection
+    explicitly."""
     if not url:
         return None
     try:
         host = urlparse(url).hostname
     except Exception:
         return None
-    return host.lower() if host else None
+    if not host or not _URI_HOST_OK_RE.match(host):
+        return None
+    return host.lower()
 
 
 _PAGERANK_LINK_NORM_HTTP = "http"
@@ -545,7 +587,9 @@ def _pagerank_normalize(href: str, base_url: str) -> str | None:
             return _strip_fragment("http:" + href)
         if href.startswith("/"):
             p = urlparse(base_url)
-            if p.scheme is None or p.hostname is None:
+            # urlparse returns '' (not None) for a missing scheme —
+            # test falsiness, like java.net.URI.getScheme() == null
+            if not p.scheme or not p.hostname:
                 return None
             return _strip_fragment(f"{p.scheme}://{p.hostname}{href}")
         return None

@@ -83,6 +83,13 @@ EDGE_HTML = [
     "to exceed fifty characters</p></html>",
     "<html><p>http no scheme www.example.com bare host plus padding words to "
     "exceed fifty characters</p></html>",
+    # astral chars: Java String.length() counts UTF-16 units (emoji = 2),
+    # so these blocks sit on opposite sides of the 50/80 thresholds
+    # depending on unit-vs-codepoint counting (ADVICE r01)
+    "<html><p>" + "\U0001F600" * 20 + " ok words here</p></html>",
+    "<html><p>" + "\U0001F680" * 25 + " thirty five ascii chars pad out xx</p></html>",
+    "<html><p>mixed \U0001F63A emoji \U0001F409 inside a paragraph padded "
+    "well past fifty characters either way</p></html>",
 ]
 
 EDGE_TITLES = [
@@ -91,6 +98,8 @@ EDGE_TITLES = [
     "&nbsp;leading entity", "ALL CAPS TITLE", "hyphen-ated and under_scored",
     "unicode café 中文 title", "1start with digit", "x" * 40,
     "the " + "y" * 31 + " long token", "&unknownentity; kept?",
+    # 150 codepoints but 210 UTF-16 units -> reference cuts at 197 units
+    "t" * 90 + "\U0001F600" * 60,
 ]
 
 EDGE_URLS = [
@@ -105,6 +114,21 @@ EDGE_URLS = [
     "https://x.com:443",
     "mailto:someone@example.com",
     "https://x.com:443/" + "z" * 35 + "/ok",
+]
+
+EDGE_WIKI_URLS = [
+    "https://en.wikipedia.org/wiki/Spark",
+    "https://zh.wikipedia.org/wiki/Spark",
+    "http://de.wikipedia.org:80/wiki/Funke",
+    "https://www.wikipedia.org/",
+    "https://commons.wikimedia.org/x",          # wikimedia, not wikipedia
+    "https://notwikipedia.org.evil.com/page",   # contains neither
+    "https://sub.en.wikipedia.org/page",        # lang code = 'sub'
+    "https://EN.WIKIPEDIA.ORG/CAPS",
+    "https://fr.m.wikipedia.org/wiki/Art",
+    "not a url at all",
+    "https://x.com:443",
+    "",
 ]
 
 EDGE_ANCHORS = [
@@ -186,6 +210,8 @@ def main() -> None:
         f.write("\n".join(b64(h) for h in htmls) + "\n")
     with open(os.path.join(HERE, "inputs_titles.txt"), "w") as f:
         f.write("\n".join(b64(t) for t in EDGE_TITLES) + "\n")
+    with open(os.path.join(HERE, "inputs_wiki_urls.txt"), "w") as f:
+        f.write("\n".join(b64(u) for u in EDGE_WIKI_URLS) + "\n")
     with open(os.path.join(HERE, "inputs_urls.txt"), "w") as f:
         f.write("\n".join(b64(u) for u in urls) + "\n")
     with open(os.path.join(HERE, "inputs_anchors.txt"), "w") as f:
@@ -212,6 +238,7 @@ def main() -> None:
     )
     run_mode("pagerank_links", pr_inputs, "pagerank_links.golden")
     run_mode("is_english", [b64(h) for h in htmls], "is_english.golden")
+    run_mode("non_en_wiki", [b64(u) for u in EDGE_WIKI_URLS], "non_en_wiki.golden")
 
 
 if __name__ == "__main__":

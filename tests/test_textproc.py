@@ -118,3 +118,32 @@ def test_corpus_text_column_is_extractor_output():
     for doc_id, text, lang in rows:
         rec = corpus.page_record(int(doc_id), text or "", lang or "", 500)
         assert rec["text"] == textproc.extract_text(rec["html"].decode("utf-8"))
+
+
+def test_is_non_english_wikipedia():
+    wiki_urls = _lines("inputs_wiki_urls.txt")
+    for url, g in zip(wiki_urls, _lines("non_en_wiki.golden")):
+        assert textproc.is_non_english_wikipedia(url) == (g == "true"), repr(url)
+
+
+def test_utf16_thresholds_astral():
+    """Emoji count 2 UTF-16 units: a 34-codepoint / 54-unit block must
+    be kept (>50 units), mirroring Java String.length()."""
+    block = "\U0001F600" * 20 + " ok words here"
+    assert len(block) == 34 and textproc.utf16_len(block) == 54
+    html = f"<html><p>{block}</p></html>"
+    # the block is kept, so the output is the normalized block (not the
+    # whole-page fallback) — golden-checked too (inputs_html astral rows)
+    assert "ok words here" in textproc.extract_text(html)
+
+
+def test_title_cap_counts_utf16_units():
+    t = "t" * 90 + "\U0001F600" * 60  # 150 codepoints, 210 UTF-16 units
+    title = textproc.extract_title(f"<html><title>{t}</title></html>")
+    assert title.endswith("...")
+    assert textproc.utf16_len(title) == 200  # 197 units + "..."
+
+
+def test_extract_host_rejects_illegal_hosts():
+    assert textproc.extract_host("http://my_host.example.com/x") is None
+    assert textproc.extract_host("http://ok-host.example.com/x") == "ok-host.example.com"
