@@ -128,13 +128,31 @@ def main() -> None:
     timed("pagerank", lambda: pagerank.pagerank_pipeline(pages).count())
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     timed("dedup_exact", lambda: dedup.exact_dup_groups(docs).count())
+    timed("dedup_prefix", lambda: dedup.prefix_dup_groups(docs).count())
     timed("minhash_pairs", lambda: dedup.minhash_candidates(docs).count())
+    timed("simhash_buckets", lambda: dedup.simhash_buckets(docs).count())
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     qvecs = [
         (int(r["vec_id"]), list(r["embedding"]))
         for r in emb.filter(F.col("vec_id") < 3).collect()
     ]
     timed("ann_cosine_topk", lambda: similarity.cosine_topk(emb, qvecs, k=10).count())
+    timed(
+        "embedding_near_dups_blocked",
+        lambda: similarity.cosine_near_dup_pairs(emb, 0.45).count(),
+    )
+    # approximate ANN: time it AND measure recall vs the exact top-k
+    exact_top = {
+        (r.query_id, r.vec_id)
+        for r in similarity.cosine_topk(emb, qvecs, k=10).collect()
+    }
+    approx_rows = timed(
+        "lsh_ann_multiprobe",
+        lambda: similarity.lsh_cosine_topk(emb, qvecs, k=10).collect(),
+    )
+    lsh_recall = len({(r.query_id, r.vec_id) for r in approx_rows} & exact_top) / max(
+        len(exact_top), 1
+    )
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
     timed("event_value_stats", lambda: analytics.event_value_stats(events).count())
     timed("tpch_q1", lambda: E.q_tpch_q1(spark, SF_DIR).count())
@@ -152,6 +170,7 @@ def main() -> None:
                 "n_docs": n_docs,
                 "index_docs_per_sec": round(docs_per_sec, 2),
                 "query_p50_sec": round(query_p50, 4),
+                "lsh_ann_recall_at_10": round(lsh_recall, 4),
             }
         )
     )

@@ -181,10 +181,15 @@ def minhash_candidates(
             )
         ).alias("e"),
     ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
-    sizes = bands.groupBy("band", "bh").agg(
-        F.count("*").alias("n_in_bucket"), F.min("doc_id").alias("rep")
+    # bucket size + representative via a window: ONE hash shuffle on
+    # (band, bh), whose output partitioning the small-bucket self-join
+    # below reuses (no re-exchange)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bh")
+    bands = bands.withColumn("n_in_bucket", F.count("*").over(w)).withColumn(
+        "rep", F.min("doc_id").over(w)
     )
-    bands = bands.join(sizes, ["band", "bh"])
     small = bands.filter(F.col("n_in_bucket") <= max_bucket_pairs).drop("n_in_bucket", "rep")
     a = small.alias("a")
     b = small.alias("b")

@@ -15,6 +15,7 @@ path.  Dot products run in whole-stage codegen via ``aggregate`` /
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -74,6 +75,33 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _multi_sig_col(vec_col, all_planes: list[np.ndarray]):
+    """All hyperplane-table signatures of a vector in ONE Arrow-batched
+    matmul: stack every table's planes into a (T·b, dim) matrix, one
+    BLAS product per batch, pack sign bits per table.  Returns
+    array<long> of length n_tables.  (Replaces a T·b-deep JVM
+    fold-expression tree — vectorized Python beats scalar codegen
+    here.)"""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    n_tables = len(all_planes)
+    n_planes = all_planes[0].shape[0]
+    stacked = np.vstack(all_planes)  # (T*b, dim)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sigs(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype=object)
+        M = np.vstack(vecs.to_numpy())  # (n, dim)
+        bits = (M @ stacked.T) > 0  # (n, T*b)
+        packed = (bits.reshape(len(M), n_tables, n_planes) * weights).sum(axis=2)
+        return pd.Series([r.tolist() for r in packed.astype(np.int64)])
+
+    return sigs(vec_col)
+
+
 def lsh_bucket_col(vec_col, planes: np.ndarray):
     """Random-hyperplane signature as an int column (JVM-side: one
     sign-bit per plane via aggregate dot products)."""
@@ -116,17 +144,13 @@ def lsh_cosine_topk(
     spark = embeddings.sparkSession
     dim = len(query_vectors[0][1])
     all_planes = [_hyperplanes(dim, n_planes, seed=seed + t) for t in range(n_tables)]
-    sig_cols = [
-        F.struct(F.lit(t).alias("table"), lsh_bucket_col(F.col("vec"), planes).alias("sig"))
-        for t, planes in enumerate(all_planes)
-    ]
     corpus = (
         embeddings.select(
             F.col(id_col).alias("vec_id"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
         )
-        .select("vec_id", "vec", F.explode(F.array(*sig_cols)).alias("tb"))
-        .select("vec_id", "vec", F.col("tb.table").alias("table"), F.col("tb.sig").alias("bucket"))
+        .withColumn("sigs", _multi_sig_col(F.col("vec"), all_planes))
+        .select("vec_id", "vec", F.posexplode("sigs").alias("table", "bucket"))
     )
 
     qrows = []
@@ -192,8 +216,6 @@ def cosine_near_dup_pairs(
     tests).  For genuinely near-duplicate thresholds (≥ ~0.8) use
     :func:`lsh_near_dup_pairs`, which prunes candidates first.
     """
-    import pandas as pd
-
     base = embeddings.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
@@ -303,15 +325,10 @@ def lsh_near_dup_pairs(
         F.col(id_col).cast("long").alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     )
-    sig_cols = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed=seed + t)
-        sig_cols.append(
-            F.struct(F.lit(t).alias("table"), lsh_bucket_col(F.col("vec"), planes).alias("sig"))
-        )
-    buckets = base.select(
-        "vec_id", "vec", F.explode(F.array(*sig_cols)).alias("tb")
-    ).select("vec_id", "vec", F.col("tb.table").alias("table"), F.col("tb.sig").alias("sig"))
+    all_planes = [_hyperplanes(dim, n_planes, seed=seed + t) for t in range(n_tables)]
+    buckets = base.withColumn("sigs", _multi_sig_col(F.col("vec"), all_planes)).select(
+        "vec_id", "vec", F.posexplode("sigs").alias("table", "sig")
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(b, (F.col("a.table") == F.col("b.table")) & (F.col("a.sig") == F.col("b.sig"))
