@@ -355,6 +355,33 @@ def q_dedup_prefix(spark, sf_dir):
     )
 
 
+def q_kvs_upsert(spark, sf_dir):
+    """KVS put → MERGE parity (ref kvs/KVSClient.java:253-318): write
+    the customer projection as a table, upsert deterministic updates
+    (every 7th key doubled+renamed) plus 5 inserts, return the merged
+    table.  The oracle reproduces the merge from the base table alone."""
+    from eaststorm_searchengine_spark.sources.tables import TableIO
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    io = TableIO(spark, os.path.join(_TMP, f"kvs_{tag}"))
+    base = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    io.write(base, "cust")
+    mx = base.agg(F.max("c_custkey")).collect()[0][0]
+    updates = base.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit("_u")).alias("c_name"),
+        (F.col("c_acctbal") + F.lit(1000.0)).alias("c_acctbal"),
+    )
+    inserts = spark.createDataFrame(
+        [(int(mx) + i, f"new_customer_{i}", 100.0 * i) for i in range(1, 6)],
+        "c_custkey long, c_name string, c_acctbal double",
+    )
+    io.upsert(updates.unionByName(inserts), "cust", key="c_custkey")
+    return io.read("cust").orderBy("c_custkey")
+
+
 def q_lang_distribution(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
@@ -475,6 +502,19 @@ def q_fingerprints(spark, sf_dir):
     return quality.fingerprints(_docs(spark, sf_dir))
 
 
+def q_ivf_ann(spark, sf_dir):
+    """IVF (k-means inverted lists) ANN — approximate by design, so
+    rows-only; recall vs the exact oracle is measured in bench/BASELINE
+    (0.967 at sf0.1 with 32 centroids / 16 probes on near-isotropic
+    synthetic embeddings — real clustered embeddings prune harder)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvecs = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).collect()
+    ]
+    return similarity.ivf_cosine_topk(emb, qvecs, k=ANN_K)
+
+
 def q_lsh_ann(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvecs = [
@@ -512,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline ops (oracle-checked)
         "dedup_exact": q_dedup_exact,
         "dedup_prefix": q_dedup_prefix,
+        "kvs_upsert": q_kvs_upsert,
         "lang_distribution": q_lang_distribution,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
@@ -532,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
     }
 
 
@@ -692,6 +734,21 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
             FROM documents GROUP BY md5(text) HAVING count(*) > 1
             ORDER BY text_hash
+        """,
+        "kvs_upsert": """
+            WITH base AS (
+              SELECT c_custkey, c_name, c_acctbal::DOUBLE AS c_acctbal FROM customer),
+            upd AS (
+              SELECT c_custkey, c_name || '_u' AS c_name, c_acctbal + 1000.0 AS c_acctbal
+              FROM base WHERE c_custkey % 7 = 0
+              UNION ALL
+              SELECT (SELECT max(c_custkey) FROM base) + i,
+                     'new_customer_' || i, 100.0 * i
+              FROM range(1, 6) t(i))
+            SELECT * FROM (
+              SELECT * FROM base WHERE c_custkey % 7 <> 0
+              UNION ALL SELECT * FROM upd)
+            ORDER BY c_custkey
         """,
         "dedup_prefix": """
             SELECT md5(substr(text, 1, 64)) AS prefix_hash, count(*)::BIGINT AS n_docs,

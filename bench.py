@@ -153,6 +153,13 @@ def main() -> None:
     lsh_recall = len({(r.query_id, r.vec_id) for r in approx_rows} & exact_top) / max(
         len(exact_top), 1
     )
+    ivf_rows = timed(
+        "ivf_ann",
+        lambda: similarity.ivf_cosine_topk(emb, qvecs, k=10).collect(),
+    )
+    ivf_recall = len({(r.query_id, r.vec_id) for r in ivf_rows} & exact_top) / max(
+        len(exact_top), 1
+    )
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
     timed("event_value_stats", lambda: analytics.event_value_stats(events).count())
     timed("tpch_q1", lambda: E.q_tpch_q1(spark, SF_DIR).count())
@@ -171,6 +178,7 @@ def main() -> None:
                 "index_docs_per_sec": round(docs_per_sec, 2),
                 "query_p50_sec": round(query_p50, 4),
                 "lsh_ann_recall_at_10": round(lsh_recall, 4),
+                "ivf_ann_recall_at_10": round(ivf_recall, 4),
             }
         )
     )

@@ -76,6 +76,36 @@ class TableIO:
             return
         os.rename(self._path(old), self._path(new))
 
+    def upsert(self, updates: DataFrame, name: str, key: str | list[str]) -> None:
+        """KVS point-write parity (``kvs/KVSClient.java:253-318`` put →
+        row upsert): MERGE semantics keyed on ``key`` — matching rows
+        are replaced by the update, non-matching update rows are
+        inserted, untouched base rows survive.
+
+        Iceberg: a real ``MERGE INTO`` (row-level ops, no table
+        rewrite).  Parquet fallback: copy-on-write — base anti-join
+        updates ∪ updates, rewritten atomically via a staging dir
+        rename.  Both paths are one shuffle on the key (the anti-join /
+        merge-on-read join); at 10^12 rows the Iceberg path additionally
+        prunes untouched files by key range."""
+        keys = [key] if isinstance(key, str) else list(key)
+        if self.format == "iceberg":
+            updates.createOrReplaceTempView("_upsert_src")
+            on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+            self.spark.sql(
+                f"MERGE INTO {self.root}.{name} t USING _upsert_src s ON {on} "
+                "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+            )
+            return
+        base = self.read(name)
+        merged = base.join(updates.select(*keys), keys, "left_anti").unionByName(
+            updates.select(*base.columns)
+        )
+        staged = self._path(f"_staging_{name}")
+        merged.write.mode("overwrite").parquet(staged)
+        self.drop(name)
+        os.rename(staged, self._path(name))
+
     def drop(self, name: str) -> None:
         """FlameRDD.destroy parity (``flame/FlameRDD.java:50-56``)."""
         if self.format == "iceberg":

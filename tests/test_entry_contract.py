@@ -83,6 +83,7 @@ _MIN_ROWS = {
     "lang_id": 500,
     "fingerprints": 500,
     "lsh_ann": 1,
+    "ivf_ann": 1,
 }
 
 

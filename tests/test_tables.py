@@ -25,3 +25,26 @@ def test_iceberg_gated(spark):
         pytest.skip("iceberg present; gate not applicable")
     with pytest.raises(RuntimeError, match="iceberg runtime jar"):
         TableIO(spark, "cat.db", format="iceberg")
+
+
+def test_upsert_merge_semantics(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from eaststorm_searchengine_spark.sources.tables import TableIO
+
+    io = TableIO(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    io.write(base, "t")
+    updates = spark.createDataFrame(
+        [(2, "b2", 22.0), (4, "d", 40.0)], "k long, name string, v double"
+    )
+    io.upsert(updates, "t", key="k")
+    got = sorted((r.k, r.name, r.v) for r in io.read("t").collect())
+    assert got == [(1, "a", 10.0), (2, "b2", 22.0), (3, "c", 30.0), (4, "d", 40.0)]
+    # idempotent re-upsert of the same updates
+    io.upsert(updates, "t", key="k")
+    got2 = sorted((r.k, r.name, r.v) for r in io.read("t").collect())
+    assert got2 == got
