@@ -480,6 +480,17 @@ def q_composite_search(spark, sf_dir):
     )
 
 
+def q_crawl_frontier(spark, sf_dir):
+    """Crawl-frontier BFS simulation over the synthesized pages corpus
+    (rows-only: link extraction from html is not SQL-expressible; the
+    BFS semantics are pytest-checked against an independent oracle)."""
+    from eaststorm_searchengine_spark.operators import crawl
+
+    pages = _pages(spark, sf_dir)
+    seeds = [r.url for r in pages.orderBy("url").limit(2).collect()]
+    return crawl.crawl_frontier(pages, seeds, max_iters=4)
+
+
 def q_minhash_pairs(spark, sf_dir):
     return dedup.minhash_candidates(_docs(spark, sf_dir))
 
@@ -574,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
+        "crawl_frontier": q_crawl_frontier,
     }
 
 

@@ -77,7 +77,9 @@ def main() -> None:
 
     queries: dict[str, float] = {}
 
-    def timed(name: str, fn, repeats: int = 1):
+    # best-of-2 everywhere: this VM's throughput swings 2-3x run to run
+    # (BASELINE.md methodology note); min-of-repeats is the stable stat
+    def timed(name: str, fn, repeats: int = 2):
         best = None
         out = None
         for _ in range(repeats):

@@ -1,0 +1,100 @@
+"""Batch crawl-frontier simulation — the reference crawler's frontier
+loop re-expressed as iterative DataFrame jobs over a closed corpus
+(the ``pages`` table IS the web; "fetch" = an equi-join on url).
+
+Reference: ``jobs/Crawler.java:56-476`` (frontier loop),
+``:848-861`` + ``:663-…`` (link extraction + normalizeURL),
+``:639-643`` (isCrawlable), ``:645-649`` (filteredByExt),
+``:790-814`` (isNonEnglishWikipedia), ``:279-298`` (anti-join against
+already-crawled rows).  HTTP transport, robots.txt and per-host
+politeness are network concerns outside the engine scope
+(SURVEY.md §2.1); the static host blacklist (``:120-250``) is
+configuration data, not logic — pass extra predicates via
+``url_filter``.
+
+Scale shape: each iteration is one equi-join of the (small) frontier
+against the corpus — Spark broadcasts the frontier side — plus one
+anti-join keyed on url; ``localCheckpoint`` truncates lineage per
+iteration exactly like the PageRank loop (pagerank.py).  Crawled-set
+growth is the only accumulating state, partitioned by url.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+from .. import textproc
+
+
+def _candidates(html: str | None, base_url: str) -> list[str]:
+    """One page's crawl candidates: extracted hrefs, normalized against
+    the page url, passed through the crawlability filter chain; deduped
+    (the reference's HashSet, Crawler.java:455) and canonicalized to
+    sorted order."""
+    out = set()
+    for href in textproc.extract_links(html):
+        absu = textproc.normalize_url(base_url, href)
+        if not absu:
+            continue
+        if not textproc.is_crawlable(absu):
+            continue
+        if textproc.filtered_by_ext(absu):
+            continue
+        if textproc.is_non_english_wikipedia(absu):
+            continue
+        out.add(absu)
+    return sorted(out)
+
+
+@pandas_udf(ArrayType(StringType()))
+def crawl_candidates_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
+    from ..functions.udfs import _as_str
+
+    return pd.Series(
+        [_candidates(h, b) for h, b in zip(_as_str(html), base_url)]
+    )
+
+
+def crawl_frontier(
+    pages: DataFrame,
+    seeds: list[str],
+    max_iters: int = 8,
+    url_filter=None,
+) -> DataFrame:
+    """BFS crawl over the corpus link graph → (url, depth, fetched).
+
+    ``depth`` is the first-reach BFS depth (seeds = 0); ``fetched``
+    marks urls that exist in the corpus (the reference's 200-response
+    rows) vs dangling attempts (its responseCode-only rows,
+    Crawler.java:417-420).  ``url_filter``: optional extra Column
+    predicate over ``url`` (the blacklist seam)."""
+    spark = pages.sparkSession
+    web = pages.select("url", "html")
+    frontier = spark.createDataFrame(
+        [(textproc.normalize_seed(s),) for s in seeds], "url string"
+    ).distinct()
+    crawled = spark.createDataFrame([], "url string, depth int")
+    for depth in range(max_iters):
+        frontier = frontier.localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        crawled = crawled.unionByName(
+            frontier.withColumn("depth", F.lit(depth))
+        ).localCheckpoint(eager=True)
+        fetched = web.join(F.broadcast(frontier), "url")
+        links = fetched.select(
+            F.explode(crawl_candidates_udf("html", "url")).alias("url")
+        ).distinct()
+        if url_filter is not None:
+            links = links.filter(url_filter)
+        frontier = links.join(crawled.select("url"), "url", "left_anti")
+    return (
+        crawled.join(web.select("url", F.lit(True).alias("fetched")), "url", "left")
+        .fillna(False, subset=["fetched"])
+        .select("url", "depth", "fetched")
+        .orderBy("depth", "url")
+    )

@@ -600,3 +600,25 @@ def _pagerank_normalize(href: str, base_url: str) -> str | None:
 def _strip_fragment(url: str) -> str:
     idx = url.find("#")
     return url if idx == -1 else url[:idx]
+
+
+def is_crawlable(url: str | None) -> bool:
+    """Scheme gate: http/https only. Reference: ``jobs/Crawler.java:639-643``."""
+    if not url:
+        return False
+    try:
+        scheme, _, _, _ = parse_url(url)
+    except Exception:
+        return False
+    scheme = (scheme or "").lower()
+    return scheme in ("http", "https")
+
+
+_FILTERED_EXTS = (".jpg", ".jpeg", ".gif", ".png", ".txt")
+
+
+def filtered_by_ext(url: str) -> bool:
+    """Binary/plain-file extension filter. Reference:
+    ``jobs/Crawler.java:645-649``."""
+    uu = url.lower()
+    return uu.endswith(_FILTERED_EXTS)

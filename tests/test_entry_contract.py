@@ -84,6 +84,7 @@ _MIN_ROWS = {
     "fingerprints": 500,
     "lsh_ann": 1,
     "ivf_ann": 1,
+    "crawl_frontier": 2,
 }
 
 
