@@ -792,15 +792,23 @@ def oracle_sql() -> dict[str, str]:
             FROM st ORDER BY doc_id
         """,
         "lang_id": _lang_id_oracle_sql(),
-        "ngram_jaccard": f"""
+        "ngram_jaccard": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
             g AS (SELECT doc_id,
                     list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
                                                  i -> array_to_string(t[i + 1 : i + 3], ' '))) AS grams
                   FROM toks),
-            k AS (SELECT doc_id, unnest(list_sort(grams)[1:2]) AS key FROM g),
+            ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            dfq AS (SELECT gram, count(*) AS df FROM ex GROUP BY gram),
+            pref AS (
+              SELECT doc_id, gram FROM (
+                SELECT ex.doc_id, ex.gram,
+                       row_number() OVER (PARTITION BY ex.doc_id ORDER BY dfq.df, ex.gram) AS rk,
+                       count(*) OVER (PARTITION BY ex.doc_id) AS n_grams
+                FROM ex JOIN dfq ON dfq.gram = ex.gram)
+              WHERE rk <= floor((1.0 - 0.5) * n_grams) + 1),
             cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                     FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id),
+                     FROM pref a JOIN pref b ON a.gram = b.gram AND a.doc_id < b.doc_id),
             j AS (SELECT c.doc_a, c.doc_b,
                     round(len(list_intersect(ga.grams, gb.grams))::DOUBLE
                           / (len(ga.grams) + len(gb.grams)

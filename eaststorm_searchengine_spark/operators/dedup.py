@@ -250,13 +250,22 @@ def simhash_buckets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    n: int = 3, threshold: float = 0.8, max_ngrams_key: int = 2,
+    n: int = 3, threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for candidate pairs blocked on
-    shared rare n-grams.  Blocking: each doc keys on its ``max_ngrams_key``
-    lexicographically-smallest n-grams (deterministic); pairs sharing a
-    key get exact Jaccard via a set-intersection aggregation.  SQL-free
-    of any all-pairs product."""
+    """Exact n-gram Jaccard pairs (doc_a < doc_b, J ≥ threshold) via
+    *prefix filtering* (Chaudhuri et al. ICDE'06 / Bayardo et al.
+    WWW'07, public literature): under a global gram order, two sets
+    with J ≥ t MUST share an element of their first
+    ``⌊(1-t)·|g|⌋ + 1`` grams, so blocking on those prefixes is
+    COMPLETE — no missed pairs — while never forming an all-pairs
+    product.  The global order is (document frequency asc, gram asc):
+    prefixes consist of each doc's *rarest* grams, so the blocking keys
+    are cold by construction (the lexicographic-smallest-gram heuristic
+    this replaces made every doc sharing a common smallest gram a hot
+    join key).  Shuffles: gram-df agg, per-doc rank window, prefix
+    self-join, verify joins — all keyed on bounded values."""
+    from pyspark.sql import Window
+
     grams = docs.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(
@@ -269,25 +278,36 @@ def ngram_jaccard_pairs(
             )
         ).alias("grams"),
     )
-    keys = grams.select(
-        "doc_id", "grams",
-        F.explode(F.slice(F.sort_array("grams"), 1, max_ngrams_key)).alias("key"),
+    ex = grams.select("doc_id", F.explode("grams").alias("gram"))
+    dfreq = ex.groupBy("gram").agg(F.count("*").alias("df"))
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "gram")
+    w_doc = Window.partitionBy("doc_id")
+    prefix = (
+        ex.join(dfreq, "gram")
+        .withColumn("rk", F.row_number().over(w_rank))
+        .withColumn("n_grams", F.count("*").over(w_doc))
+        .filter(F.col("rk") <= F.floor((1.0 - threshold) * F.col("n_grams")) + 1)
+        .select("doc_id", "gram")
     )
-    a, b = keys.alias("a"), keys.alias("b")
+    a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
-        a.join(b, (F.col("a.key") == F.col("b.key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-            F.col("a.grams").alias("ga"), F.col("b.grams").alias("gb"),
-        )
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    jac = cand.withColumn(
-        "jaccard",
-        F.round(
-            F.size(F.array_intersect("ga", "gb"))
-            / F.size(F.array_union("ga", "gb")),
-            6,
-        ),
-    ).select("doc_a", "doc_b", "jaccard")
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    jac = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("ga", "gb"))
+                / F.size(F.array_union("ga", "gb")),
+                6,
+            ),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
     return jac.filter(F.col("jaccard") >= threshold).orderBy("doc_a", "doc_b")

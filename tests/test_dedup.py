@@ -52,3 +52,43 @@ def test_star_fallback_preserves_components(spark):
     cross = [(a, b) for a, b, _ in got if (a < 1000) != (b < 1000)]
     assert hot == [(0, i) for i in range(1, 200)]
     assert cross == []
+
+
+def test_ngram_prefix_filtering_complete(spark):
+    """Prefix filtering must find EVERY pair with J ≥ t (the theorem it
+    implements), verified against a brute-force all-pairs oracle on a
+    corpus engineered with near-threshold overlaps."""
+    words = [f"w{i}" for i in range(30)]
+    rows = []
+    for d in range(40):
+        # sliding windows of 12 words with stride 3: neighbours share
+        # 9/15 grams-ish → many pairs straddling t=0.5
+        start = (d * 3) % 18
+        rows.append((d, " ".join(words[start : start + 12])))
+    rows += [(100 + d, f"unique{d} " * 8) for d in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    )
+
+    # brute-force oracle with the same gram definition
+    def grams(text, n=3):
+        t = text.split(" ")
+        return {
+            " ".join(t[i : i + n]) for i in range(max(len(t) - n, 0) + 1)
+        }
+
+    gmap = {d: grams(t) for d, t in rows}
+    want = []
+    ids = sorted(gmap)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(gmap[a] & gmap[b])
+            union = len(gmap[a] | gmap[b])
+            j = round(inter / union, 6)
+            if j >= 0.5:
+                want.append((a, b, j))
+    assert got == sorted(want)
+    assert len(want) > 0
