@@ -77,9 +77,10 @@ def main() -> None:
 
     queries: dict[str, float] = {}
 
-    # best-of-2 everywhere: this VM's throughput swings 2-3x run to run
-    # (BASELINE.md methodology note); min-of-repeats is the stable stat
-    def timed(name: str, fn, repeats: int = 2):
+    # best-of-N everywhere: this VM suffers bursty hypervisor steal
+    # (same job swings 2-3x run to run — BASELINE.md methodology note);
+    # min-of-repeats is the stable statistic
+    def timed(name: str, fn, repeats: int = 3):
         best = None
         out = None
         for _ in range(repeats):
@@ -108,6 +109,7 @@ def main() -> None:
         lambda: build_index(
             spark, pages, idx_dir2, id_col="doc_id", text_col="html", from_html=True
         ),
+        repeats=2,
     )
     idx = BM25Index(spark, idx_dir)
 
