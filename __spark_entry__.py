@@ -501,6 +501,14 @@ def q_simhash_buckets(spark, sf_dir):
     )
 
 
+def q_simhash_near_dups(spark, sf_dir):
+    """Complete simhash near-dup pairs (Manku-Jain-Sarma bit-block
+    blocking + exact hamming verify).  Rows-only: the FNV-based
+    simhash isn't SQL-expressible; completeness is pytest-checked
+    against a brute-force oracle (tests/test_dedup.py)."""
+    return dedup.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
@@ -580,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_search": q_composite_search,
         "minhash_pairs": q_minhash_pairs,
         "simhash_buckets": q_simhash_buckets,
+        "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard": q_ngram_jaccard,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,

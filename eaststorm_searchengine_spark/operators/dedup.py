@@ -246,6 +246,50 @@ def simhash_buckets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def simhash_near_dups(
+    docs: DataFrame, max_hamming: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """COMPLETE SimHash near-dup pairs (hamming(a, b) ≤ max_hamming)
+    via Manku-Jain-Sarma bit-block blocking (WWW'07 "Detecting
+    near-duplicates for web crawling", public literature): split the
+    64-bit fingerprint into ``max_hamming + 1`` blocks — by pigeonhole,
+    any pair within hamming distance k agrees exactly on at least one
+    block — then verify candidates with exact ``bit_count(a XOR b)``.
+    All blocking/verify math is JVM-side (whole-stage codegen); the
+    only Python is the vectorized simhash UDF.  GroupBy keys are
+    (block_idx, block_bits): bounded width, uniform shuffle."""
+    k = max_hamming
+    n_blocks = k + 1
+    width = 64 // n_blocks
+    sh = docs.select(F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("sh"))
+    block_cols = []
+    for i in range(n_blocks):
+        start = i * width
+        w = width if i < n_blocks - 1 else 64 - start
+        bits = F.shiftrightunsigned("sh", start).bitwiseAND(F.lit((1 << w) - 1))
+        block_cols.append(F.struct(F.lit(i).alias("blk"), bits.alias("bits")))
+    bands = sh.select(
+        "doc_id", "sh", F.explode(F.array(*block_cols)).alias("e")
+    ).select("doc_id", "sh", F.col("e.blk").alias("blk"), F.col("e.bits").alias("bits"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.bits") == F.col("b.bits"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sha"), F.col("b.sh").alias("shb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).cast("int"))
+        .filter(F.col("hamming") <= k)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # ---- n-gram jaccard --------------------------------------------------------
 
 def ngram_jaccard_pairs(

@@ -92,3 +92,35 @@ def test_ngram_prefix_filtering_complete(spark):
                 want.append((a, b, j))
     assert got == sorted(want)
     assert len(want) > 0
+
+
+def test_simhash_near_dups_complete(spark):
+    """Bit-block blocking must find EVERY pair within the hamming
+    bound (Manku-Jain-Sarma pigeonhole), vs a brute-force oracle on a
+    corpus with planted token-level mutations."""
+    base_words = [f"term{i}" for i in range(60)]
+    rows = []
+    for d in range(25):
+        words = list(base_words)
+        # mutate a few tokens per doc: nearby docs get similar simhashes
+        for j in range(d % 5):
+            words[j] = f"mut{d}_{j}"
+        rows.append((d, " ".join(words)))
+    rows += [(100 + d, f"totally different corpus {d} " * 6) for d in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_near_dups(docs, max_hamming=6).collect()
+    )
+
+    sigs = {d: dedup.simhash64(t) for d, t in rows}
+    want = []
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 6:
+                want.append((a, b, h))
+    assert got == sorted(want)
+    assert len(want) > 0

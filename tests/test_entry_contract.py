@@ -79,6 +79,7 @@ _MIN_ROWS = {
     "composite_search": 10,
     "minhash_pairs": 0,
     "simhash_buckets": 0,
+    "simhash_near_dups": 5,
     "ngram_jaccard": 0,
     "lang_id": 500,
     "fingerprints": 500,
