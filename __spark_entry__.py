@@ -480,6 +480,18 @@ def q_composite_search(spark, sf_dir):
     )
 
 
+def q_host_concentration(spark, sf_dir):
+    """CrawlQualityAnalyzer host report (rows-only: pages table is
+    synthesized; python-oracled in tests/test_analytics_pages.py)."""
+    return analytics.host_concentration(_pages(spark, sf_dir))
+
+
+def q_size_histogram(spark, sf_dir):
+    return analytics.size_histogram(_pages(spark, sf_dir)).select(
+        "bucket_lo", F.col("pages").cast("long").alias("pages")
+    )
+
+
 def q_crawl_frontier(spark, sf_dir):
     """Crawl-frontier BFS simulation over the synthesized pages corpus
     (rows-only: link extraction from html is not SQL-expressible; the
@@ -595,6 +607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "crawl_frontier": q_crawl_frontier,
+        "host_concentration": q_host_concentration,
+        "size_histogram": q_size_histogram,
     }
 
 

@@ -86,6 +86,8 @@ _MIN_ROWS = {
     "lsh_ann": 1,
     "ivf_ann": 1,
     "crawl_frontier": 2,
+    "host_concentration": 5,
+    "size_histogram": 2,
 }
 
 
