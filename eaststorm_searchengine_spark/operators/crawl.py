@@ -6,11 +6,13 @@ Reference: ``jobs/Crawler.java:56-476`` (frontier loop),
 ``:848-861`` + ``:663-…`` (link extraction + normalizeURL),
 ``:639-643`` (isCrawlable), ``:645-649`` (filteredByExt),
 ``:790-814`` (isNonEnglishWikipedia), ``:279-298`` (anti-join against
-already-crawled rows).  HTTP transport, robots.txt and per-host
-politeness are network concerns outside the engine scope
-(SURVEY.md §2.1); the static host blacklist (``:120-250``) is
-configuration data, not logic — pass extra predicates via
-``url_filter``.
+already-crawled rows), ``:509-596`` (robots.txt rules, via
+``robots.parse_robots`` — golden-tested against the reference class).
+HTTP transport and per-host timing are network concerns outside the
+engine scope (SURVEY.md §2.1; the politeness arithmetic itself is
+mirrored in ``robots.politeness_ready``); the static host blacklist
+(``:120-250``) is configuration data, not logic — pass extra
+predicates via ``url_filter``.
 
 Scale shape: each iteration is one equi-join of the (small) frontier
 against the corpus — Spark broadcasts the frontier side — plus one
@@ -59,11 +61,39 @@ def crawl_candidates_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
     )
 
 
+def _robots_gate(spark, robots_map: dict[str, str]):
+    """Broadcast parsed per-host robots rules → boolean Column filter
+    over candidate urls (Crawler.java:361-363: disallowed urls are
+    never attempted).  Hosts without a robots entry allow everything
+    (the reference's 'missing' state)."""
+    from pyspark.sql.types import BooleanType
+
+    from ..robots import parse_robots
+
+    parsed = {h.lower(): parse_robots(t) for h, t in robots_map.items()}
+    bc = spark.sparkContext.broadcast(parsed)
+
+    @pandas_udf(BooleanType())
+    def allowed(urls: pd.Series) -> pd.Series:
+        def ok(u: str) -> bool:
+            try:
+                _, host, _, pathq = textproc.parse_url(u)
+            except Exception:
+                return True
+            r = bc.value.get((host or "").lower())
+            return r.allows(pathq) if r is not None else True
+
+        return urls.map(ok)
+
+    return allowed
+
+
 def crawl_frontier(
     pages: DataFrame,
     seeds: list[str],
     max_iters: int = 8,
     url_filter=None,
+    robots_map: dict[str, str] | None = None,
 ) -> DataFrame:
     """BFS crawl over the corpus link graph → (url, depth, fetched).
 
@@ -71,9 +101,13 @@ def crawl_frontier(
     marks urls that exist in the corpus (the reference's 200-response
     rows) vs dangling attempts (its responseCode-only rows,
     Crawler.java:417-420).  ``url_filter``: optional extra Column
-    predicate over ``url`` (the blacklist seam)."""
+    predicate over ``url`` (the blacklist seam).  ``robots_map``:
+    optional {host: robots.txt text}; disallowed candidate urls are
+    dropped before the fetch, like the reference's pre-HEAD robots
+    gate (Crawler.java:361-363)."""
     spark = pages.sparkSession
     web = pages.select("url", "html")
+    robots_allowed = _robots_gate(spark, robots_map) if robots_map else None
     frontier = spark.createDataFrame(
         [(textproc.normalize_seed(s),) for s in seeds], "url string"
     ).distinct()
@@ -91,6 +125,8 @@ def crawl_frontier(
         ).distinct()
         if url_filter is not None:
             links = links.filter(url_filter)
+        if robots_allowed is not None:
+            links = links.filter(robots_allowed("url"))
         frontier = links.join(crawled.select("url"), "url", "left_anti")
     return (
         crawled.join(web.select("url", F.lit(True).alias("fetched")), "url", "left")

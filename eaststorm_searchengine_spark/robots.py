@@ -1,0 +1,91 @@
+"""robots.txt parsing + politeness arithmetic — parity with the
+reference crawler's ``Crawler.Robots`` (``jobs/Crawler.java:509-596``)
+and per-host delay gate (``:365-371``).
+
+Pure functions (the KVS-caching / HTTP-fetching wrapper around them is
+transport, out of engine scope per SURVEY §2.1).  Parse semantics are
+reproduced line-for-line and golden-tested against the compiled
+reference class via reflection (tests/golden 'robots' mode):
+
+* lines are ``#``-comment-stripped then Java-trimmed
+* ``User-agent:`` opens a section (lowercased agent name); directives
+  before any section are ignored
+* the crawler's own UA section wins, else ``*``, else no rules
+* ``Allow:`` / ``Disallow:`` keep file order; ``allows()`` returns the
+  FIRST rule whose prefix matches (empty prefix matches everything);
+  empty ``Disallow:`` means allow-all; default allow
+* ``Crawl-delay: s`` → ``Math.round(s*1000)`` ms, max over repeats,
+  -1 when absent
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+UA = "cis5550-crawler"  # reference UA constant (Crawler.java:22)
+DEFAULT_DELAY_MS = 1000  # politeness default (Crawler.java:365)
+
+from .textproc import java_trim
+
+
+@dataclass
+class Robots:
+    rules: list[tuple[bool, str]] = field(default_factory=list)  # (allow, prefix)
+    delay_ms: int = -1
+
+    def allows(self, path: str | None) -> bool:
+        """First-match-wins prefix rules (Crawler.java:517-524)."""
+        p = path if path else "/"
+        for allow, prefix in self.rules:
+            if prefix == "":
+                return allow
+            if p.startswith(prefix):
+                return allow
+        return True
+
+
+def parse_robots(txt: str | None, ua: str = UA) -> Robots:
+    """Mirror of ``Robots.parse`` (Crawler.java:556-596)."""
+    if txt is None:
+        return Robots()
+    by_ua: dict[str, list[str]] = {}
+    cur: list[str] | None = None
+    for raw in txt.split("\n"):
+        line = java_trim(raw.split("#", 1)[0])
+        if not line:
+            continue
+        low = line.lower()
+        if low.startswith("user-agent:"):
+            name = java_trim(line[11:]).lower()
+            cur = by_ua.setdefault(name, [])
+        elif cur is not None:
+            cur.append(line)
+
+    chosen = by_ua.get(ua.lower(), by_ua.get("*", []))
+
+    delay = -1
+    rules: list[tuple[bool, str]] = []
+    for line in chosen:
+        low = line.lower()
+        if low.startswith("allow:"):
+            rules.append((True, java_trim(line[6:])))
+        elif low.startswith("disallow:"):
+            pre = java_trim(line[9:])
+            rules.append((True, "") if pre == "" else (False, pre))
+        elif low.startswith("crawl-delay:"):
+            try:
+                s = float(java_trim(line[12:]))
+                # Java Math.round = floor(x + 0.5), not banker's rounding
+                delay = max(delay, math.floor(s * 1000.0 + 0.5))
+            except ValueError:
+                pass
+    return Robots(rules, delay)
+
+
+def politeness_ready(now_ms: int, last_ms: int, robots_delay_ms: int) -> bool:
+    """Per-host delay gate (Crawler.java:365-371): effective delay is
+    the robots Crawl-delay when present, else 1000 ms; a host with no
+    recorded last-fetch is always ready."""
+    delay = robots_delay_ms if robots_delay_ms >= 0 else DEFAULT_DELAY_MS
+    return last_ms <= 0 or (now_ms - last_ms) >= delay

@@ -131,6 +131,52 @@ EDGE_WIKI_URLS = [
     "",
 ]
 
+ROBOTS_A = """# global rules
+User-agent: *
+Disallow: /private/
+Allow: /private/ok
+Crawl-delay: 2
+
+User-agent: cis5550-crawler
+Disallow: /cgi/
+Allow: /cgi/open
+Crawl-delay: 0.5
+"""
+
+ROBOTS_B = """User-agent: *
+Disallow:
+Crawl-delay: 1.4
+Crawl-delay: 3
+"""
+
+ROBOTS_C = """User-agent: otherbot
+Disallow: /
+"""
+
+ROBOTS_D = """orphan-directive: ignored
+Disallow: /before-any-section/
+USER-AGENT: CIS5550-CRAWLER
+DISALLOW: /upper/   # trailing comment
+allow: /upper/sub
+"""
+
+ROBOTS_E = ""
+
+EDGE_ROBOTS = [
+    (ROBOTS_A, "/private/secret"),
+    (ROBOTS_A, "/private/ok/page"),
+    (ROBOTS_A, "/cgi/script"),
+    (ROBOTS_A, "/cgi/open/x"),
+    (ROBOTS_A, "/anything"),
+    (ROBOTS_B, "/private/whatever"),
+    (ROBOTS_C, "/any"),
+    (ROBOTS_C, ""),
+    (ROBOTS_D, "/upper/page"),
+    (ROBOTS_D, "/upper/sub/page"),
+    (ROBOTS_D, "/before-any-section/x"),
+    (ROBOTS_E, "/x"),
+]
+
 EDGE_ANCHORS = [
     "", "Click Here", "<b>Bold</b> anchor", "Read&nbsp;more", "1234",
     "a", "MIXED case Words 42", "multi\nline\nanchor",
@@ -210,6 +256,8 @@ def main() -> None:
         f.write("\n".join(b64(h) for h in htmls) + "\n")
     with open(os.path.join(HERE, "inputs_titles.txt"), "w") as f:
         f.write("\n".join(b64(t) for t in EDGE_TITLES) + "\n")
+    with open(os.path.join(HERE, "inputs_robots.txt"), "w") as f:
+        f.write("\n".join(b64(t) + "\t" + b64(pth) for t, pth in EDGE_ROBOTS) + "\n")
     with open(os.path.join(HERE, "inputs_wiki_urls.txt"), "w") as f:
         f.write("\n".join(b64(u) for u in EDGE_WIKI_URLS) + "\n")
     with open(os.path.join(HERE, "inputs_urls.txt"), "w") as f:
@@ -239,6 +287,11 @@ def main() -> None:
     run_mode("pagerank_links", pr_inputs, "pagerank_links.golden")
     run_mode("is_english", [b64(h) for h in htmls], "is_english.golden")
     run_mode("non_en_wiki", [b64(u) for u in EDGE_WIKI_URLS], "non_en_wiki.golden")
+    run_mode(
+        "robots",
+        [b64(t) + "\t" + b64(pth) for t, pth in EDGE_ROBOTS],
+        "robots.golden",
+    )
 
 
 if __name__ == "__main__":

@@ -78,3 +78,20 @@ def test_crawl_url_filter_seam(spark):
         url_filter=~F.col("url").contains("b.com"),
     ).collect()
     assert all("b.com" not in r.url for r in out if r.depth > 0)
+
+
+def test_crawl_robots_gate(spark):
+    """robots.txt disallow removes the subtree reached only through a
+    disallowed path (the reference's pre-HEAD robots filter)."""
+    pages = spark.createDataFrame(MINI_WEB, "url string, html string")
+    robots = {"a.com": "User-agent: *\nDisallow: /two.html\n"}
+    out = {
+        r.url: r.depth
+        for r in crawl.crawl_frontier(
+            pages, ["http://a.com/"], max_iters=6, robots_map=robots
+        ).collect()
+    }
+    assert "http://a.com:80/two.html" not in out
+    # three.html is only linked from two.html -> unreachable now
+    assert "http://a.com:80/three.html" not in out
+    assert "http://a.com:80/one.html" in out

@@ -147,3 +147,34 @@ def test_title_cap_counts_utf16_units():
 def test_extract_host_rejects_illegal_hosts():
     assert textproc.extract_host("http://my_host.example.com/x") is None
     assert textproc.extract_host("http://ok-host.example.com/x") == "ok-host.example.com"
+
+
+def test_robots_parse_and_allows():
+    """robots.txt parse + allows() golden parity vs the reference's
+    Crawler$Robots (reflection harness, 'robots' GoldenGen mode)."""
+    from eaststorm_searchengine_spark import robots as R
+
+    with open(os.path.join(GOLD, "inputs_robots.txt")) as f:
+        inputs = []
+        for line in f.read().splitlines():
+            a, b = line.split("\t")
+            inputs.append(
+                (base64.b64decode(a).decode(), base64.b64decode(b).decode())
+            )
+    for (txt, path), g in zip(inputs, _lines("robots.golden")):
+        want_allow, want_delay = g.split(",")
+        r = R.parse_robots(txt)
+        assert r.allows(path) == (want_allow == "true"), (txt[:60], path)
+        assert r.delay_ms == int(want_delay), (txt[:60], path)
+
+
+def test_politeness_arithmetic():
+    """Per-host delay gate (Crawler.java:365-371)."""
+    from eaststorm_searchengine_spark.robots import politeness_ready
+
+    assert politeness_ready(10_000, 0, -1)          # never fetched
+    assert not politeness_ready(10_000, 9_500, -1)  # default 1000ms gate
+    assert politeness_ready(10_000, 9_000, -1)      # exactly at gate
+    assert politeness_ready(10_000, 9_500, 500)     # robots delay overrides
+    assert not politeness_ready(10_000, 9_800, 500)
+    assert politeness_ready(10_000, 5_000, 3_000)
