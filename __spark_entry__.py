@@ -829,7 +829,7 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY ex.doc_id ORDER BY dfq.df, ex.gram) AS rk,
                        count(*) OVER (PARTITION BY ex.doc_id) AS n_grams
                 FROM ex JOIN dfq ON dfq.gram = ex.gram)
-              WHERE rk <= floor((1.0 - 0.5) * n_grams) + 1),
+              WHERE rk <= floor((1.0 - 0.5) * n_grams + 1e-9) + 1),
             cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                      FROM pref a JOIN pref b ON a.gram = b.gram AND a.doc_id < b.doc_id),
             j AS (SELECT c.doc_a, c.doc_b,

@@ -54,6 +54,20 @@ def extract_title_udf(html: pd.Series) -> pd.Series:
     return _as_str(html).map(textproc.extract_title)
 
 
+@pandas_udf(StringType())
+def extract_title_nonblank_udf(html: pd.Series) -> pd.Series:
+    """<title> extraction with the ranker's blank test: titles that are
+    empty or all Java whitespace become NULL, so a downstream coalesce
+    falls back to the url exactly like the reference's ``t.isBlank()``
+    (SearchServer.java) — including Unicode separators F.trim misses."""
+
+    def f(h):
+        t = textproc.extract_title(h)
+        return None if t is None or textproc.java_is_blank(t) else t
+
+    return _as_str(html).map(f)
+
+
 @pandas_udf(ArrayType(StringType()))
 def title_tokens_udf(title: pd.Series) -> pd.Series:
     """Title tokens (TitleIndexer.java:82-103); unique per title

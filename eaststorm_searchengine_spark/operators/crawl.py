@@ -113,6 +113,12 @@ def crawl_frontier(
     ).distinct()
     crawled = spark.createDataFrame([], "url string, depth int")
     for depth in range(max_iters):
+        # the gate applies to EVERY url before it is attempted — seeds
+        # included, like the reference's pre-HEAD check (Crawler.java:361)
+        if url_filter is not None:
+            frontier = frontier.filter(url_filter)
+        if robots_allowed is not None:
+            frontier = frontier.filter(robots_allowed("url"))
         frontier = frontier.localCheckpoint(eager=True)
         if frontier.isEmpty():
             break
@@ -123,10 +129,6 @@ def crawl_frontier(
         links = fetched.select(
             F.explode(crawl_candidates_udf("html", "url")).alias("url")
         ).distinct()
-        if url_filter is not None:
-            links = links.filter(url_filter)
-        if robots_allowed is not None:
-            links = links.filter(robots_allowed("url"))
         frontier = links.join(crawled.select("url"), "url", "left_anti")
     return (
         crawled.join(web.select("url", F.lit(True).alias("fetched")), "url", "left")

@@ -152,7 +152,7 @@ def minhash_udf(text: pd.Series) -> pd.Series:
 
 def minhash_candidates(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    n_bands: int = N_BANDS, max_bucket_pairs: int = 256,
+    n_bands: int = N_BANDS, max_bucket_docs: int = 256,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of their MinHash signature →
     candidate pairs (doc_a < doc_b, n_shared_bands).  The groupBy key is
@@ -160,7 +160,8 @@ def minhash_candidates(
 
     Hot-bucket bound: a bucket of m docs would emit m(m-1)/2 pairs
     through the self-join — quadratic in the (adversarial) case of many
-    identical documents.  Buckets larger than ``max_bucket_pairs`` docs
+    identical documents.  Buckets holding more than ``max_bucket_docs``
+    DOCUMENTS (so up to max_bucket_docs·(max_bucket_docs-1)/2 pairs)
     instead emit *star* pairs to the bucket's min-id representative
     (m-1 pairs), which preserves the connected components downstream
     dedup actually consumes (a standard LSH-at-scale mitigation; cf.
@@ -190,7 +191,7 @@ def minhash_candidates(
     bands = bands.withColumn("n_in_bucket", F.count("*").over(w)).withColumn(
         "rep", F.min("doc_id").over(w)
     )
-    small = bands.filter(F.col("n_in_bucket") <= max_bucket_pairs).drop("n_in_bucket", "rep")
+    small = bands.filter(F.col("n_in_bucket") <= max_bucket_docs).drop("n_in_bucket", "rep")
     a = small.alias("a")
     b = small.alias("b")
     small_pairs = (
@@ -199,7 +200,7 @@ def minhash_candidates(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
     big_pairs = (
-        bands.filter((F.col("n_in_bucket") > max_bucket_pairs) & (F.col("doc_id") != F.col("rep")))
+        bands.filter((F.col("n_in_bucket") > max_bucket_docs) & (F.col("doc_id") != F.col("rep")))
         .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
     pairs = (
@@ -330,7 +331,11 @@ def ngram_jaccard_pairs(
         ex.join(dfreq, "gram")
         .withColumn("rk", F.row_number().over(w_rank))
         .withColumn("n_grams", F.count("*").over(w_doc))
-        .filter(F.col("rk") <= F.floor((1.0 - threshold) * F.col("n_grams")) + 1)
+        # +1e-9 before floor: binary-float (1-t)*n lands just below the
+        # exact integer when t*n is whole (e.g. t=0.8, n=10 → 1.9999…),
+        # which would shorten the prefix and break completeness; erring
+        # one longer is always safe (more candidates, still complete)
+        .filter(F.col("rk") <= F.floor((1.0 - threshold) * F.col("n_grams") + 1e-9) + 1)
         .select("doc_id", "gram")
     )
     a, b = prefix.alias("a"), prefix.alias("b")

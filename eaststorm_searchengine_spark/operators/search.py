@@ -103,14 +103,13 @@ def composite_search(
         F.col("r0") <= limit_intermediate
     )
 
-    # blank titles fall back to the url like the reference's
-    # t.isBlank() check (SearchServer.java) — not just NULL titles
-    raw_title = extract_title_udf("html")
+    # blank titles (empty OR all Java whitespace, incl. Unicode
+    # separators) fall back to the url like the reference's t.isBlank()
+    from ..functions.udfs import extract_title_nonblank_udf
+
     titles = pages.select(
         "url",
-        F.coalesce(
-            F.when(F.trim(raw_title) != "", raw_title), F.col("url")
-        ).alias("title"),
+        F.coalesce(extract_title_nonblank_udf("html"), F.col("url")).alias("title"),
     )
     qmeta = F.broadcast(
         spark.createDataFrame(

@@ -21,7 +21,10 @@ from pyspark.sql import functions as F
 
 
 def _cosine(vec_col, qcol):
-    """Cosine similarity of two array<double> columns, JVM-side."""
+    """Cosine similarity of two array<double> columns, JVM-side.
+    Zero-norm vectors yield NULL (they have no direction) rather than
+    tripping Spark 4's ANSI DIVIDE_BY_ZERO — which fires even for
+    doubles; NULL cosines drop out of every filter/rank downstream."""
     dot = F.aggregate(
         F.zip_with(vec_col, qcol, lambda x, y: x * y),
         F.lit(0.0),
@@ -29,7 +32,8 @@ def _cosine(vec_col, qcol):
     )
     norm_a = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, v: acc + v * v))
     norm_b = F.sqrt(F.aggregate(qcol, F.lit(0.0), lambda acc, v: acc + v * v))
-    return dot / (norm_a * norm_b)
+    den = norm_a * norm_b
+    return dot / F.when(den != 0.0, den)
 
 
 def cosine_topk(
@@ -63,7 +67,8 @@ def cosine_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
         .orderBy("query_id", "rank")
@@ -186,7 +191,8 @@ def lsh_cosine_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
         .orderBy("query_id", "rank")
@@ -320,7 +326,12 @@ def lsh_near_dup_pairs(
     product.  Precision is exact (verify step); recall < 1 by design
     and rises with n_tables — at threshold 0.8, b=4 × L=8 gives
     ≥ 0.998 per-pair recall."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    first = embeddings.select(vec_col).first()
+    if first is None:  # empty corpus → no pairs
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, cosine double"
+        )
+    dim = len(first[0])
     base = embeddings.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
@@ -369,11 +380,23 @@ def ivf_cosine_topk(
     from pyspark.ml.functions import array_to_vector
 
     norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, v: a + v * v))
-    base = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
-    ).withColumn(
-        "unit", F.transform(F.col("vec"), lambda x: x / norm(F.col("vec")))
+    base = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+        )
+        # norm computed ONCE per row (inside the transform lambda it
+        # would re-aggregate per element); zero vectors stay unnormalized
+        # rather than becoming NaN features that break KMeans.fit
+        .withColumn("nrm", norm(F.col("vec")))
+        .withColumn(
+            "unit",
+            F.when(
+                F.col("nrm") > 0,
+                F.transform(F.col("vec"), lambda x: x / F.col("nrm")),
+            ).otherwise(F.col("vec")),
+        )
+        .drop("nrm")
     )
     ml = base.withColumn("features", array_to_vector("unit"))
     model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(ml)
@@ -400,7 +423,8 @@ def ivf_cosine_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
         .orderBy("query_id", "rank")

@@ -82,12 +82,15 @@ class TableIO:
         are replaced by the update, non-matching update rows are
         inserted, untouched base rows survive.
 
-        Iceberg: a real ``MERGE INTO`` (row-level ops, no table
-        rewrite).  Parquet fallback: copy-on-write — base anti-join
-        updates ∪ updates, rewritten atomically via a staging dir
-        rename.  Both paths are one shuffle on the key (the anti-join /
-        merge-on-read join); at 10^12 rows the Iceberg path additionally
-        prunes untouched files by key range."""
+        Iceberg: a real ``MERGE INTO`` (row-level ops, transactional —
+        the path for concurrent readers).  Parquet fallback:
+        copy-on-write — base anti-join updates ∪ updates into a staging
+        dir, then a rename swap (old → trash, staged → live, trash
+        removed).  The swap is two POSIX renames, not a transaction: a
+        crash between them leaves the table briefly absent but both
+        copies recoverable on disk (trash + staged), never silently
+        lost.  Both paths are one shuffle on the key; at 10^12 rows the
+        Iceberg path additionally prunes untouched files by key range."""
         keys = [key] if isinstance(key, str) else list(key)
         if self.format == "iceberg":
             updates.createOrReplaceTempView("_upsert_src")
@@ -101,10 +104,17 @@ class TableIO:
         merged = base.join(updates.select(*keys), keys, "left_anti").unionByName(
             updates.select(*base.columns)
         )
+        import shutil
+
         staged = self._path(f"_staging_{name}")
+        trash = self._path(f"_trash_{name}")
         merged.write.mode("overwrite").parquet(staged)
-        self.drop(name)
-        os.rename(staged, self._path(name))
+        shutil.rmtree(trash, ignore_errors=True)
+        live = self._path(name)
+        if os.path.exists(live):
+            os.rename(live, trash)
+        os.rename(staged, live)
+        shutil.rmtree(trash, ignore_errors=True)
 
     def drop(self, name: str) -> None:
         """FlameRDD.destroy parity (``flame/FlameRDD.java:50-56``)."""

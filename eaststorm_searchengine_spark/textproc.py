@@ -622,3 +622,24 @@ def filtered_by_ext(url: str) -> bool:
     ``jobs/Crawler.java:645-649``."""
     uu = url.lower()
     return uu.endswith(_FILTERED_EXTS)
+
+
+def java_is_whitespace(c: str) -> bool:
+    """``Character.isWhitespace``: Unicode space/line/paragraph
+    separators EXCEPT non-breaking ones (U+00A0, U+2007, U+202F), plus
+    ASCII control whitespace and the U+001C-1F file separators."""
+    o = ord(c)
+    if c in "\t\n\x0b\f\r" or 0x1C <= o <= 0x1F:
+        return True
+    if c in "\u00a0\u2007\u202f":
+        return False
+    import unicodedata
+
+    return unicodedata.category(c) in ("Zs", "Zl", "Zp")
+
+
+def java_is_blank(s: str | None) -> bool:
+    """``String.isBlank()``: empty or all Java whitespace."""
+    if s is None:
+        return True
+    return all(java_is_whitespace(c) for c in s)

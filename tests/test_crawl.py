@@ -95,3 +95,14 @@ def test_crawl_robots_gate(spark):
     # three.html is only linked from two.html -> unreachable now
     assert "http://a.com:80/three.html" not in out
     assert "http://a.com:80/one.html" in out
+
+
+def test_crawl_robots_gates_seeds_too(spark):
+    """A robots-disallowed SEED is never attempted (the reference
+    checks every url pre-fetch, seeds included)."""
+    pages = spark.createDataFrame(MINI_WEB, "url string, html string")
+    out = crawl.crawl_frontier(
+        pages, ["http://a.com/"], max_iters=4,
+        robots_map={"a.com": "User-agent: *\nDisallow: /\n"},
+    ).collect()
+    assert all("a.com" not in r.url for r in out)

@@ -19,7 +19,7 @@ def test_bucket_cap_does_not_change_normal_corpora(spark):
     """At sf0.01 no bucket exceeds the cap, so capped == uncapped."""
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     capped = _pairs(dedup.minhash_candidates(docs))
-    uncapped = _pairs(dedup.minhash_candidates(docs, max_bucket_pairs=1 << 30))
+    uncapped = _pairs(dedup.minhash_candidates(docs, max_bucket_docs=1 << 30))
     assert capped == uncapped
     assert len(capped) > 0
 
@@ -34,7 +34,7 @@ def test_adversarial_identical_docs_star_not_quadratic(spark):
         "doc_id long, text string",
     )
     t0 = time.perf_counter()
-    got = _pairs(dedup.minhash_candidates(docs, max_bucket_pairs=64))
+    got = _pairs(dedup.minhash_candidates(docs, max_bucket_docs=64))
     elapsed = time.perf_counter() - t0
     assert got == [(0, i, dedup.N_BANDS) for i in range(1, n)]
     assert elapsed < 120, f"adversarial corpus took {elapsed:.1f}s"
@@ -47,7 +47,7 @@ def test_star_fallback_preserves_components(spark):
     rows = [(i, "identical hot document body shared by the cluster") for i in range(200)]
     rows += [(1000 + i, f"unique document number {i} with its own words entirely") for i in range(20)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    got = _pairs(dedup.minhash_candidates(docs, max_bucket_pairs=32))
+    got = _pairs(dedup.minhash_candidates(docs, max_bucket_docs=32))
     hot = [(a, b) for a, b, _ in got if a < 1000 and b < 1000]
     cross = [(a, b) for a, b, _ in got if (a < 1000) != (b < 1000)]
     assert hot == [(0, i) for i in range(1, 200)]
@@ -122,5 +122,37 @@ def test_simhash_near_dups_complete(spark):
             h = bin(sigs[a] ^ sigs[b]).count("1")
             if h <= 6:
                 want.append((a, b, h))
+    assert got == sorted(want)
+    assert len(want) > 0
+
+
+def test_ngram_prefix_filtering_complete_t08(spark):
+    """t=0.8 with gram counts that make t*n a whole number — the float
+    (1-t)*n lands just below the integer and a naive floor would cut
+    the prefix one short (code-review r02 finding)."""
+    words = [f"v{i}" for i in range(40)]
+    rows = []
+    for d in range(12):
+        # 12 tokens -> exactly 10 distinct 3-grams; neighbours overlap 9/11
+        start = d
+        rows.append((d, " ".join(words[start : start + 12])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    )
+
+    def grams(text, n=3):
+        t = text.split(" ")
+        return {" ".join(t[i : i + n]) for i in range(max(len(t) - n, 0) + 1)}
+
+    gmap = {d: grams(t) for d, t in rows}
+    want = []
+    ids = sorted(gmap)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            j = round(len(gmap[a] & gmap[b]) / len(gmap[a] | gmap[b]), 6)
+            if j >= 0.8:
+                want.append((a, b, j))
     assert got == sorted(want)
     assert len(want) > 0

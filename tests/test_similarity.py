@@ -115,3 +115,18 @@ def test_ivf_ann_recall(spark):
     top = similarity.ivf_cosine_topk(planted, pq, k=2, n_centroids=8, n_probe=4).collect()
     # vec 200 is the planted near-dup of vec 0: both must appear first
     assert {r.vec_id for r in top} == {0, 200}
+
+
+def test_lsh_near_dup_empty_corpus(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert similarity.lsh_near_dup_pairs(empty, 0.8).count() == 0
+
+
+def test_ivf_tolerates_zero_vectors(spark):
+    emb = _planted_corpus(spark, n=60, n_dups=4)
+    emb = emb.union(
+        spark.createDataFrame([(999, [0.0] * 16)], "vec_id long, embedding array<double>")
+    )
+    q = [(0, [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]])]
+    rows = similarity.ivf_cosine_topk(emb, q, k=5, n_centroids=8, n_probe=8).collect()
+    assert len(rows) == 5
