@@ -122,3 +122,30 @@ def test_systematic_sample_matches_global_window(spark):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_no_cartesian_in_any_contract_query(spark):
+    """Global scale-hygiene gate: NO contract query's final plan may
+    contain CartesianProduct or BroadcastNestedLoopJoin — all-pairs
+    shapes are banned engine-wide (the pytest-only all-pairs oracle
+    baselines are exempt by not being contract queries)."""
+    import __spark_entry__ as E
+
+    # exact brute-force ANN scores corpus x query-batch via a broadcast
+    # cross against the (tiny, fixed) query set — linear in the corpus,
+    # not an all-pairs product; the only sanctioned BNLJ
+    exempt = {"ann_cosine_topk"}
+
+    bad = {}
+    for name, fn in E.queries().items():
+        if name in exempt:
+            continue
+        df = fn(spark, SF)
+        plan = inspect.formatted_plan(df)
+        hits = [
+            tok for tok in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if tok in plan
+        ]
+        if hits:
+            bad[name] = hits
+    assert not bad, bad
