@@ -67,11 +67,19 @@ def _csv(col) -> F.Column:
     return F.array_join(F.transform(col, lambda x: x.cast("string")), ",")
 
 
+def _index_complete(root: str) -> bool:
+    """stats.json is written LAST, but also require the segment data so
+    a manually-truncated cache dir forces a rebuild."""
+    return os.path.exists(os.path.join(root, "stats.json")) and os.path.isdir(
+        os.path.join(root, "segments")
+    )
+
+
 def _index_for(spark: SparkSession, sf_dir: str) -> bm25.BM25Index:
     """Build-once cache of the segment index per scale factor."""
     tag = os.path.basename(os.path.normpath(sf_dir))
     root = os.path.join(_TMP, f"idx_{tag}")
-    if not os.path.exists(os.path.join(root, "stats.json")):
+    if not _index_complete(root):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         build_index_fast(spark, docs, root)
     return bm25.BM25Index(spark, root)
@@ -80,7 +88,7 @@ def _index_for(spark: SparkSession, sf_dir: str) -> bm25.BM25Index:
 def _stemmed_index_for(spark: SparkSession, sf_dir: str) -> bm25.BM25Index:
     tag = os.path.basename(os.path.normpath(sf_dir))
     root = os.path.join(_TMP, f"idx_stem_{tag}")
-    if not os.path.exists(os.path.join(root, "stats.json")):
+    if not _index_complete(root):
         build_index_fast(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"),
                          root, stem=True)
     return bm25.BM25Index(spark, root)
