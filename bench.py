@@ -135,6 +135,8 @@ def main() -> None:
     timed("dedup_prefix", lambda: dedup.prefix_dup_groups(docs).count())
     timed("minhash_pairs", lambda: dedup.minhash_candidates(docs).count())
     timed("simhash_buckets", lambda: dedup.simhash_buckets(docs).count())
+    timed("simhash_near_dups", lambda: dedup.simhash_near_dups(docs).count())
+    timed("ngram_jaccard", lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.5).count(), repeats=2)
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     qvecs = [
         (int(r["vec_id"]), list(r["embedding"]))
