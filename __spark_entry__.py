@@ -511,6 +511,22 @@ def q_crawl_frontier(spark, sf_dir):
     return crawl.crawl_frontier(pages, seeds, max_iters=4)
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal pipeline: synthesize the media table (real PNG / PGM /
+    BMP / WAV blobs rotated with synthetic containers), decode with the
+    stdlib decoders, extract pooled features (rows-only: binary decode
+    is not SQL-expressible; decoders are round-trip-tested against the
+    encoders in tests/test_multimodal.py)."""
+    from eaststorm_searchengine_spark.operators import multimodal
+
+    media = multimodal.synthesize_media(spark, sf_dir)
+    feats = multimodal.media_features(media)
+    return feats.select(
+        "doc_id", "kind",
+        _csv(F.transform("features", lambda x: F.round(x, 6))).alias("features"),
+    ).orderBy("doc_id")
+
+
 def q_minhash_pairs(spark, sf_dir):
     return dedup.minhash_candidates(_docs(spark, sf_dir))
 
@@ -617,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "host_concentration": q_host_concentration,
         "size_histogram": q_size_histogram,
+        "media_features": q_media_features,
     }
 
 

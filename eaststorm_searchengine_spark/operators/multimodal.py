@@ -7,14 +7,24 @@ typed metadata struct — the standard webdataset-ish layout:
           meta struct<mime string, width int, height int,
                       duration_ms int, sample_rate int>)
 
-The Spark-side plumbing — schema, deterministic synthesis, Arrow batch
-shape, partition sizing for large blobs, vectorized UDF signatures — is
-real and tested.  The actual byte decoding (image decode / resample /
-frame-sample) is stubbed: the container ships no imaging/audio
-libraries, so ``decode_image`` raises ``NotImplementedError`` unless a
-deterministic fake decoder is requested (``fake=True``), which parses
-the synthetic container format below and exercises the identical code
-path shape (bytes in → fixed-size feature vector out).
+Decoding is REAL for every format the Python standard library can
+parse — no imaging/audio wheels ship in this container, so the decoders
+are implemented from the public format specs directly:
+
+* PNG (8-bit gray/RGB/RGBA, non-interlaced): chunk walk, zlib-inflated
+  IDAT, full scanline unfiltering (None/Sub/Up/Average/Paeth per the
+  PNG spec §9) — pure numpy per row.
+* PGM/PPM (binary Netpbm P5/P6): header parse + raw samples.
+* BMP (uncompressed 24-bit BITMAPINFOHEADER): bottom-up rows, 4-byte
+  row padding.
+* WAV (PCM 8/16-bit) via the stdlib ``wave`` module.
+* ``FAKEIMG1``/``FAKEAUD1``: the deterministic synthetic containers
+  (kept for cheap high-volume fixtures).
+
+Compressed formats needing codecs outside the stdlib (JPEG, MP3, video)
+raise ``NotImplementedError`` naming the dependency — the dispatch,
+schema, Arrow batch shape and partition sizing are identical, so adding
+them is one decoder function.
 
 Synthetic container format (deterministic, self-describing):
   b"FAKEIMG1" | width:uint16 | height:uint16 | payload  (images)
@@ -24,7 +34,9 @@ Synthetic container format (deterministic, self-describing):
 from __future__ import annotations
 
 import hashlib
+import io
 import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -40,9 +52,20 @@ MEDIA_SCHEMA = (
 
 _IMG_MAGIC = b"FAKEIMG1"
 _AUD_MAGIC = b"FAKEAUD1"
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def synth_image(doc_id: int) -> tuple[bytes, dict]:
+# --------------------------------------------------------------------------
+# synthesis (deterministic; one blob per doc, format rotated by doc_id)
+# --------------------------------------------------------------------------
+
+def _pixels_for(doc_id: int, w: int, h: int, channels: int = 1) -> np.ndarray:
+    seed = hashlib.blake2b(f"px:{doc_id}".encode(), digest_size=8).digest()
+    rng = np.random.RandomState(int.from_bytes(seed[:4], "little"))
+    return rng.randint(0, 256, size=(h, w, channels), dtype=np.uint8)
+
+
+def synth_fake_image(doc_id: int) -> tuple[bytes, dict]:
     w = 32 + (doc_id % 7) * 16
     h = 32 + (doc_id % 5) * 16
     payload = hashlib.blake2b(f"img:{doc_id}".encode(), digest_size=32).digest()
@@ -52,7 +75,49 @@ def synth_image(doc_id: int) -> tuple[bytes, dict]:
     return content, meta
 
 
-def synth_audio(doc_id: int) -> tuple[bytes, dict]:
+def synth_png(doc_id: int) -> tuple[bytes, dict]:
+    w, h = 24 + (doc_id % 5) * 8, 24 + (doc_id % 3) * 8
+    px = _pixels_for(doc_id, w, h, 3)
+    content = png_encode(px)
+    return content, {"mime": "image/png", "width": w, "height": h,
+                     "duration_ms": None, "sample_rate": None}
+
+
+def synth_pgm(doc_id: int) -> tuple[bytes, dict]:
+    w, h = 20 + (doc_id % 4) * 12, 20 + (doc_id % 6) * 8
+    px = _pixels_for(doc_id, w, h, 1)[:, :, 0]
+    content = b"P5\n# synthetic\n%d %d\n255\n" % (w, h) + px.tobytes()
+    return content, {"mime": "image/x-portable-graymap", "width": w, "height": h,
+                     "duration_ms": None, "sample_rate": None}
+
+
+def synth_bmp(doc_id: int) -> tuple[bytes, dict]:
+    w, h = 16 + (doc_id % 3) * 8, 16 + (doc_id % 5) * 4
+    px = _pixels_for(doc_id, w, h, 3)
+    content = bmp_encode(px)
+    return content, {"mime": "image/bmp", "width": w, "height": h,
+                     "duration_ms": None, "sample_rate": None}
+
+
+def synth_wav(doc_id: int) -> tuple[bytes, dict]:
+    import wave
+
+    sr = 8000
+    n = 800 + (doc_id % 7) * 400
+    t = np.arange(n, dtype=np.float64)
+    freq = 200.0 + (doc_id % 10) * 50.0
+    samples = (np.sin(2 * np.pi * freq * t / sr) * 12000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(sr)
+        wv.writeframes(samples.tobytes())
+    return buf.getvalue(), {"mime": "audio/wav", "width": None, "height": None,
+                            "duration_ms": int(n * 1000 / sr), "sample_rate": sr}
+
+
+def synth_fake_audio(doc_id: int) -> tuple[bytes, dict]:
     sr = 16000
     n = 1000 + (doc_id % 11) * 500
     payload = hashlib.blake2b(f"aud:{doc_id}".encode(), digest_size=32).digest()
@@ -62,9 +127,15 @@ def synth_audio(doc_id: int) -> tuple[bytes, dict]:
     return content, meta
 
 
+# back-compat aliases (round-1 API)
+synth_image = synth_fake_image
+synth_audio = synth_fake_audio
+
+
 def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic media table derived from documents (one image or
-    audio blob per doc).  Distributed generation via mapInPandas."""
+    """Deterministic media table derived from documents (one blob per
+    doc; real PNG/PGM/BMP/WAV formats rotated with the synthetic
+    containers).  Distributed generation via mapInPandas."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -73,10 +144,14 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 if did % 2 == 0:
-                    content, meta = synth_image(did)
+                    maker = (synth_png, synth_pgm, synth_bmp, synth_fake_image)[
+                        (did // 2) % 4
+                    ]
+                    content, meta = maker(did)
                     kind = "image"
                 else:
-                    content, meta = synth_audio(did)
+                    maker = (synth_wav, synth_fake_audio)[(did // 2) % 2]
+                    content, meta = maker(did)
                     kind = "audio"
                 rows.append(
                     {"doc_id": did, "kind": kind, "content": content, "meta": meta}
@@ -86,42 +161,231 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(gen, MEDIA_SCHEMA)
 
 
-def decode_image(content: bytes, fake: bool = False) -> np.ndarray:
-    """bytes → HxW float array.  Real decode needs an imaging library
-    (not shipped in this container) — STUB; the deterministic fake
-    parses the synthetic container."""
-    if not fake:
+# --------------------------------------------------------------------------
+# encoders (used by synthesis + tests; spec-compliant, stdlib only)
+# --------------------------------------------------------------------------
+
+def png_encode(px: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG writer: 8-bit gray (HxW) or RGB/RGBA (HxWxC),
+    non-interlaced, one IDAT, the SAME ``filter_type`` applied forward
+    to every scanline (0-4) so the decoder's unfiltering is testable
+    against all five filters."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    color = {1: 0, 3: 2, 4: 6}[c]
+    bpp = c
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.uint8)
+    for y in range(h):
+        line = px[y].reshape(-1).astype(np.uint8)
+        f = np.asarray(line, dtype=np.int64)
+        left = np.concatenate((np.zeros(bpp, dtype=np.int64), f[:-bpp]))
+        up = prev.astype(np.int64)
+        upleft = np.concatenate((np.zeros(bpp, dtype=np.int64), up[:-bpp]))
+        if filter_type == 0:
+            out = f
+        elif filter_type == 1:
+            out = f - left
+        elif filter_type == 2:
+            out = f - up
+        elif filter_type == 3:
+            out = f - (left + up) // 2
+        elif filter_type == 4:
+            p = left + up - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+            out = f - pred
+        else:
+            raise ValueError(filter_type)
+        raw.append(filter_type)
+        raw.extend((out % 256).astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def bmp_encode(px: np.ndarray) -> bytes:
+    """Uncompressed 24-bit bottom-up BMP (BITMAPINFOHEADER)."""
+    h, w, _ = px.shape
+    row_len = (w * 3 + 3) // 4 * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = px[y][:, ::-1].reshape(-1).tobytes()  # RGB -> BGR
+        body.extend(row)
+        body.extend(b"\x00" * (row_len - len(row)))
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + bytes(body)
+
+
+# --------------------------------------------------------------------------
+# decoders
+# --------------------------------------------------------------------------
+
+def _decode_png(content: bytes) -> np.ndarray:
+    pos = len(_PNG_MAGIC)
+    idat = bytearray()
+    w = h = None
+    color = bit_depth = interlace = None
+    while pos < len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        tag = content[pos + 4 : pos + 8]
+        body = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bit_depth, color, _, _, interlace = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if bit_depth != 8 or color not in (0, 2, 6) or interlace != 0:
         raise NotImplementedError(
-            "real image decode requires an imaging library (e.g. Pillow); "
-            "not available in this environment — use fake=True for the "
-            "deterministic synthetic-container decoder"
+            f"PNG bit_depth={bit_depth} color={color} interlace={interlace}: "
+            "only 8-bit gray/RGB/RGBA non-interlaced supported"
         )
-    if not content.startswith(_IMG_MAGIC):
-        raise ValueError("not a FAKEIMG1 container")
-    w, h = struct.unpack_from("<HH", content, 8)
-    body = np.frombuffer(content, dtype=np.uint8, count=w * h, offset=12)
-    return (body.astype(np.float32) / 255.0).reshape(h, w)
+    c = {0: 1, 2: 3, 6: 4}[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * c
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up
+            rec = (line + prev) % 256
+        else:  # Sub / Average / Paeth need the running left value
+            rec = np.empty(stride, dtype=np.int64)
+            for i in range(stride):
+                left = rec[i - c] if i >= c else 0
+                up = prev[i]
+                upleft = prev[i - c] if i >= c else 0
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) // 2
+                elif ft == 4:
+                    p = left + up - upleft
+                    pa, pb, pc_ = abs(p - left), abs(p - up), abs(p - upleft)
+                    pred = left if pa <= pb and pa <= pc_ else (up if pb <= pc_ else upleft)
+                else:
+                    raise ValueError(f"PNG filter {ft}")
+                rec[i] = (line[i] + pred) % 256
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    img = out.reshape(h, w, c).astype(np.float32) / 255.0
+    return img.mean(axis=2)  # grayscale feature plane
 
 
-def decode_audio(content: bytes, fake: bool = False) -> tuple[int, np.ndarray]:
-    if not fake:
-        raise NotImplementedError(
-            "real audio decode requires an audio library; use fake=True"
-        )
-    if not content.startswith(_AUD_MAGIC):
-        raise ValueError("not a FAKEAUD1 container")
-    sr, n = struct.unpack_from("<II", content, 8)
-    body = np.frombuffer(content, dtype=np.uint8, count=n, offset=16)
-    return sr, body.astype(np.float32) / 128.0 - 1.0
+def _decode_netpbm(content: bytes) -> np.ndarray:
+    magic = content[:2]
+    channels = 1 if magic == b"P5" else 3
+    # header: magic, whitespace/comments, width, height, maxval, 1 ws byte
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while content[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    body = np.frombuffer(content, dtype=np.uint8, count=w * h * channels, offset=pos)
+    img = body.reshape(h, w, channels).astype(np.float32) / float(maxval)
+    return img.mean(axis=2)
 
+
+def _decode_bmp(content: bytes) -> np.ndarray:
+    _, _, _, _, off = struct.unpack_from("<2sIHHI", content, 0)
+    hdr_size, w, h = struct.unpack_from("<Iii", content, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", content, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}: "
+                                  "only uncompressed 24-bit supported")
+    bottom_up = h > 0
+    h = abs(h)
+    row_len = (w * 3 + 3) // 4 * 4
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    for row in range(h):
+        y = h - 1 - row if bottom_up else row
+        line = np.frombuffer(content, dtype=np.uint8, count=w * 3,
+                             offset=off + row * row_len)
+        img[y] = line.reshape(w, 3)[:, ::-1]  # BGR -> RGB
+    return img.astype(np.float32).mean(axis=2) / 255.0
+
+
+def decode_image(content: bytes) -> np.ndarray:
+    """bytes → HxW float32 grayscale plane in [0, 1].  Dispatches on
+    the container magic; formats needing non-stdlib codecs raise
+    NotImplementedError naming the dependency."""
+    if content.startswith(_PNG_MAGIC):
+        return _decode_png(content)
+    if content[:2] in (b"P5", b"P6"):
+        return _decode_netpbm(content)
+    if content[:2] == b"BM":
+        return _decode_bmp(content)
+    if content.startswith(_IMG_MAGIC):
+        w, h = struct.unpack_from("<HH", content, 8)
+        body = np.frombuffer(content, dtype=np.uint8, count=w * h, offset=12)
+        return (body.astype(np.float32) / 255.0).reshape(h, w)
+    if content[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError("JPEG decode requires libjpeg (e.g. Pillow)")
+    raise ValueError(f"unrecognized image container: {content[:8]!r}")
+
+
+def decode_audio(content: bytes) -> tuple[int, np.ndarray]:
+    """bytes → (sample_rate, float32 samples in [-1, 1])."""
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        import wave
+
+        with wave.open(io.BytesIO(content), "rb") as wv:
+            sr = wv.getframerate()
+            width = wv.getsampwidth()
+            frames = wv.readframes(wv.getnframes())
+        if width == 2:
+            arr = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+        elif width == 1:
+            arr = np.frombuffer(frames, dtype=np.uint8).astype(np.float32) / 128.0 - 1.0
+        else:
+            raise NotImplementedError(f"WAV sample width {width}")
+        return sr, arr
+    if content.startswith(_AUD_MAGIC):
+        sr, n = struct.unpack_from("<II", content, 8)
+        body = np.frombuffer(content, dtype=np.uint8, count=n, offset=16)
+        return sr, body.astype(np.float32) / 128.0 - 1.0
+    if content[:3] in (b"ID3", b"\xff\xfb\x00"[:3]):
+        raise NotImplementedError("MP3 decode requires an audio codec library")
+    raise ValueError(f"unrecognized audio container: {content[:8]!r}")
+
+
+# --------------------------------------------------------------------------
+# distributed transforms
+# --------------------------------------------------------------------------
 
 FEATURE_DIM = 16
 
 
-def media_features(media: DataFrame, fake: bool = True) -> DataFrame:
+def media_features(media: DataFrame) -> DataFrame:
     """content → fixed-dim feature vector, vectorized over Arrow
-    batches (``mapInPandas``).  The feature extractor here is a
-    deterministic stand-in (pooled byte statistics); swap the inner
+    batches (``mapInPandas``).  The feature extractor is pooled
+    intensity statistics over the DECODED samples; swap the inner
     function for a real model without touching the Spark plumbing."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -129,9 +393,9 @@ def media_features(media: DataFrame, fake: bool = True) -> DataFrame:
             feats = []
             for content, kind in zip(pdf["content"], pdf["kind"]):
                 if kind == "image":
-                    arr = decode_image(bytes(content), fake=fake).ravel()
+                    arr = decode_image(bytes(content)).ravel()
                 else:
-                    _, arr = decode_audio(bytes(content), fake=fake)
+                    _, arr = decode_audio(bytes(content))
                 pooled = np.resize(arr, (FEATURE_DIM, max(arr.size // FEATURE_DIM, 1))).mean(axis=1)
                 feats.append([float(x) for x in pooled])
             yield pd.DataFrame(
@@ -143,15 +407,15 @@ def media_features(media: DataFrame, fake: bool = True) -> DataFrame:
     )
 
 
-def resize_images(media: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
-    """Image resize (nearest-neighbor on the fake decoder) — the
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize (nearest-neighbor over the decoded plane) — the
     shape of a distributed media-transform stage."""
 
     def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for did, content in zip(pdf["doc_id"], pdf["content"]):
-                img = decode_image(bytes(content), fake=fake)
+                img = decode_image(bytes(content))
                 yi = (np.arange(height) * img.shape[0] // height)
                 xi = (np.arange(width) * img.shape[1] // width)
                 resized = img[np.ix_(yi, xi)]

@@ -88,6 +88,7 @@ _MIN_ROWS = {
     "crawl_frontier": 2,
     "host_concentration": 5,
     "size_histogram": 2,
+    "media_features": 500,
 }
 
 
