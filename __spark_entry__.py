@@ -227,6 +227,15 @@ def q_systematic_sample(spark, sf_dir):
     return analytics.systematic_sample(ev, "event_id", 50)
 
 
+def q_windowed_event_counts(spark, sf_dir):
+    """Tumbling-window (300 s) event counts — the batch mirror of the
+    streaming watermark/window operator (streaming/windows.py; stream
+    == batch is pytest-gated, this row oracle-checks the window math)."""
+    from eaststorm_searchengine_spark.streaming.windows import windowed_event_counts_batch
+
+    return windowed_event_counts_batch(_events(spark, sf_dir))
+
+
 def q_tpch_q1(spark, sf_dir):
     """TPC-H Q1-style pricing summary (decimal-exact sums so the
     DuckDB comparison is bit-stable)."""
@@ -597,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_users": q_top_users,
         "systematic_sample": q_systematic_sample,
         "sessionize": q_sessionize,
+        "windowed_event_counts": q_windowed_event_counts,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "terms_intersect": q_terms_intersect,
@@ -706,6 +716,14 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY event_id) AS rn
               FROM events)
             SELECT event_id, event_type, value FROM o WHERE (rn - 1) % 50 = 0
+        """,
+        "windowed_event_counts": """
+            -- floor BEFORE the bigint cast: DuckDB double->bigint casts
+            -- round, and // on doubles isn't a floor-div
+            SELECT (floor(epoch(ts))::BIGINT // 300) * 300 AS window_start,
+                   event_type, count(*)::BIGINT AS n,
+                   round(sum(value), 6) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
         """,
         "sessionize": """
             WITH flagged AS (
