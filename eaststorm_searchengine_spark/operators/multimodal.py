@@ -307,6 +307,10 @@ def _decode_netpbm(content: bytes) -> np.ndarray:
         fields.append(int(content[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError(
+            f"Netpbm maxval {maxval}: 16-bit (2-byte) samples not supported"
+        )
     body = np.frombuffer(content, dtype=np.uint8, count=w * h * channels, offset=pos)
     img = body.reshape(h, w, channels).astype(np.float32) / float(maxval)
     return img.mean(axis=2)
@@ -370,7 +374,9 @@ def decode_audio(content: bytes) -> tuple[int, np.ndarray]:
         sr, n = struct.unpack_from("<II", content, 8)
         body = np.frombuffer(content, dtype=np.uint8, count=n, offset=16)
         return sr, body.astype(np.float32) / 128.0 - 1.0
-    if content[:3] in (b"ID3", b"\xff\xfb\x00"[:3]):
+    if content[:3] == b"ID3" or (
+        len(content) >= 2 and content[0] == 0xFF and (content[1] & 0xE0) == 0xE0
+    ):  # ID3 tag or MPEG frame sync
         raise NotImplementedError("MP3 decode requires an audio codec library")
     raise ValueError(f"unrecognized audio container: {content[:8]!r}")
 

@@ -4,20 +4,21 @@ aggregation and custom stateful sessionization.
 The reference has no streaming (SURVEY.md §2.8); these are the two
 canonical event-stream shapes the build brief calls for:
 
-* :func:`windowed_event_counts` — ``readStream → withWatermark →
-  groupBy(window(...), key) → agg``.  The watermark bounds state AND
-  defines late-data semantics: an event older than
-  ``max(event time seen) - delay`` arrives after its window is
-  finalized and is dropped (tested explicitly with a straggler batch).
+* :func:`run_windowed_event_counts` — ``readStream → withWatermark →
+  groupBy(window(...), key) → agg`` in APPEND mode to a file sink: a
+  window row is emitted exactly once, when the watermark passes its
+  end (finalized), and events arriving later than the watermark are
+  dropped — both behaviors are tested.  The watermark also bounds
+  state (finalized windows are evicted).  The window/agg expression is
+  shared with the batch mirror so stream == batch stays meaningful.
 * :func:`sessionize_stream` — gap-based sessionization via
   ``applyInPandasWithState`` (GroupState): per-user open-session state
-  carries (start, last-seen, count, sum) across micro-batches; a
-  processing-time timeout flushes sessions whose gap elapsed with no
-  new events.  This is the custom-stateful-operator escape hatch for
-  semantics window aggs can't express (data-driven session boundaries).
+  carries (start, last-seen, count, sum) across micro-batches.  This
+  is the custom-stateful-operator escape hatch for semantics window
+  aggs can't express (data-driven session boundaries).
 
 At scale both shapes keep state partitioned by key (user/event_type),
-and the watermark/timeout bound state size — the standard Structured
+and the watermark bounds window state — the standard Structured
 Streaming story; nothing here is driver-resident.
 """
 
@@ -31,48 +32,47 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
-def windowed_event_counts_batch(events: DataFrame, window_sec: int = 300) -> DataFrame:
-    """Batch mirror of the streaming windowed agg (stream == batch is
-    the correctness gate, minus late-data drops)."""
+def _window_agg(df: DataFrame, window_sec: int) -> DataFrame:
+    """The shared tumbling-window aggregation — applied to both the
+    static and the streaming DataFrame so the stream == batch gate
+    compares one expression, not two hand-copies."""
     return (
-        events.groupBy(
-            F.window(F.col("ts"), f"{window_sec} seconds").alias("w"), "event_type"
-        )
+        df.groupBy(F.window(F.col("ts"), f"{window_sec} seconds").alias("w"), "event_type")
         .agg(F.count("*").cast("long").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
         .select(
             F.col("w.start").cast("timestamp").cast("long").alias("window_start"),
             "event_type", "n", "total_value",
         )
-        .orderBy("window_start", "event_type")
     )
+
+
+def windowed_event_counts_batch(events: DataFrame, window_sec: int = 300) -> DataFrame:
+    """Batch mirror of the streaming windowed agg (oracle-checked by
+    the ``windowed_event_counts`` contract query)."""
+    return _window_agg(events, window_sec).orderBy("window_start", "event_type")
 
 
 def run_windowed_event_counts(
     spark: SparkSession,
     input_dir: str,
     checkpoint_dir: str,
-    out_table: str,
+    output_dir: str,
     schema: str,
     window_sec: int = 300,
     watermark: str = "10 minutes",
 ) -> None:
-    """File-source stream → watermark → tumbling-window counts →
-    complete-mode memory sink (bounded: windows × types).  Runs all
-    available micro-batches and returns."""
+    """File-source stream → watermark → tumbling-window agg → APPEND
+    parquet sink.  Append mode is what gives the watermark its two
+    jobs: a window emits exactly once when the watermark passes its
+    end, and events older than the watermark are dropped (state for
+    finalized windows is evicted).  Restartable from the checkpoint.
+    Runs all available micro-batches and returns."""
     stream = spark.readStream.schema(schema).parquet(input_dir)
-    agg = (
-        stream.withWatermark("ts", watermark)
-        .groupBy(F.window(F.col("ts"), f"{window_sec} seconds").alias("w"), "event_type")
-        .agg(F.count("*").cast("long").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
-        .select(
-            F.col("w.start").cast("timestamp").cast("long").alias("window_start"),
-            "event_type", "n", "total_value",
-        )
-    )
+    agg = _window_agg(stream.withWatermark("ts", watermark), window_sec)
     q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(out_table)
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -100,6 +100,22 @@ def _session_fn(gap_sec: int):
         out = []
         for r in rows.itertuples():
             e, v = int(r.epoch), float(r.value)
+            if last is not None and e <= last:
+                # out-of-order arrival relative to the open session
+                # (events within one batch are sorted, so this is a
+                # cross-batch straggler).  Best effort, watermark-like:
+                # fold it into the open session if it falls inside (or
+                # gap-chains backward onto) the session's span without
+                # moving ``last`` backwards; drop it if it is older
+                # than the open session by more than the gap.
+                if e >= start:
+                    n += 1
+                    total += v
+                elif start - e <= gap_sec:
+                    start = e
+                    n += 1
+                    total += v
+                continue
             if last is not None and e - last > gap_sec:
                 out.append({"user_id": user_id, "session_start": start,
                             "session_end": last, "n_events": n, "total_value": total})
@@ -120,30 +136,33 @@ def sessionize_stream(
     spark: SparkSession,
     input_dir: str,
     checkpoint_dir: str,
-    out_table: str,
+    output_dir: str,
     schema: str,
     gap_sec: int = 1800,
 ) -> None:
     """Gap-based sessionization as a custom stateful streaming operator
     (``applyInPandasWithState``): emits a session row when a later
-    event crosses the user's EVENT-time gap (``gap_sec``).  Each user's
-    final still-open session correctly remains in state — it is not
-    closed yet; a continuously-running job would flush it with a
-    processing-time timeout, but Spark 4.1.2's availableNow drain
-    never terminates while ProcessingTimeTimeout timers are pending
-    (observed: endless "no new data but cleaning up state" batches),
-    so this operator uses NoTimeout and leaves open sessions to the
-    next run's state.  State per user is one open-session tuple —
-    bounded by active users, partitioned by user_id.
+    event crosses the user's EVENT-time gap (``gap_sec``).  Sink is
+    APPEND parquet, so the query is restartable from its checkpoint:
+    each user's final still-open session correctly remains in GroupState
+    and is closed by a later run's events.  Stream == batch equivalence
+    holds for per-user event-time-ordered arrival (the normal log-stream
+    case); cross-batch stragglers get best-effort watermark-like
+    handling (folded into the open session when within its span or
+    gap-chaining onto its start; dropped when older than that).
 
     Spark 4.1.2 workarounds, all environment-verified:
     * planning FlatMapGroupsInPandasWithState with AQE enabled hits an
       internal NPE (PythonSQLMetrics on a session-less SparkPlan while
       AQE is being force-disabled for the stateful query), so AQE is
       toggled off around the stream and restored after;
-    * the newer ``transformWithStateInPandas`` would avoid that, but
-      its state protocol needs google.protobuf, which this container
-      doesn't ship.
+    * availableNow never terminates while ProcessingTimeTimeout timers
+      are pending (endless "no new data but cleaning up state"
+      batches), so no flush timers — open sessions wait for the next
+      run, which the restartable checkpoint + file sink support;
+    * the newer ``transformWithStateInPandas`` would avoid the NPE,
+      but its state protocol needs google.protobuf, which this
+      container doesn't ship.
     """
     stream = (
         spark.readStream.schema(schema)
@@ -162,8 +181,8 @@ def sessionize_stream(
     try:
         q = (
             sessions.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(out_table)
+            .format("parquet")
+            .option("path", output_dir)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start()

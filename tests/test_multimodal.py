@@ -112,3 +112,12 @@ def test_resize(spark, media):
     out = multimodal.resize_images(media, 16, 16).collect()
     assert all(r["width"] == 16 and r["height"] == 16 for r in out)
     assert len(out) == media.filter("kind = 'image'").count()
+
+
+def test_mp3_sync_and_16bit_netpbm_raise():
+    with pytest.raises(NotImplementedError, match="MP3"):
+        multimodal.decode_audio(b"\xff\xfb\x90\x64realmp3frame")
+    with pytest.raises(NotImplementedError, match="MP3"):
+        multimodal.decode_audio(b"ID3\x04\x00taggedmp3")
+    with pytest.raises(NotImplementedError, match="maxval"):
+        multimodal.decode_image(b"P5\n2 2\n65535\n" + b"\x00" * 8)

@@ -1,6 +1,7 @@
-"""Watermarked windowed aggregation (stream == batch; late data
-dropped past the watermark) and applyInPandasWithState sessionization
-(stream sessions == the batch sessionizer's closed sessions)."""
+"""Watermarked windowed aggregation (append mode: finalized windows ==
+batch once the watermark passes; late data dropped) and
+applyInPandasWithState sessionization (restartable across runs;
+closed sessions == the batch sessionizer's)."""
 
 import shutil
 
@@ -24,88 +25,110 @@ def events(spark):
     )
 
 
+def _fence(events, days=30):
+    """A single far-future event that pushes the watermark beyond every
+    real window so append mode finalizes (emits) them all."""
+    return (
+        events.orderBy(F.desc("ts")).limit(1)
+        .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS"))
+        .withColumn("event_id", F.lit(10_000_000))
+        .withColumn("event_type", F.lit("fence"))
+    )
+
+
 def test_windowed_counts_stream_equals_batch(spark, events):
     shutil.rmtree(TMP, ignore_errors=True)
-    # two micro-batch waves
+    # two micro-batch waves, then a watermark fence to finalize all
     events.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(f"{TMP}/in")
     events.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(f"{TMP}/in")
-    W.run_windowed_event_counts(
-        spark, f"{TMP}/in", f"{TMP}/ckpt", "win_counts", EVENTS_SCHEMA
-    )
+    W.run_windowed_event_counts(spark, f"{TMP}/in", f"{TMP}/ckpt", f"{TMP}/out", EVENTS_SCHEMA)
+    _fence(events).write.mode("append").parquet(f"{TMP}/in")
+    W.run_windowed_event_counts(spark, f"{TMP}/in", f"{TMP}/ckpt", f"{TMP}/out", EVENTS_SCHEMA)
     got = sorted(
-        tuple(r) for r in spark.sql(
-            "SELECT window_start, event_type, n, total_value FROM win_counts"
-        ).collect()
+        tuple(r)
+        for r in spark.read.parquet(f"{TMP}/out")
+        .filter(F.col("event_type") != "fence")
+        .collect()
     )
     want = sorted(tuple(r) for r in W.windowed_event_counts_batch(events).collect())
     assert got == want and len(got) > 0
 
 
 def test_watermark_drops_late_events(spark, events):
-    """A straggler micro-batch far older than the watermark must not
-    change finalized windows (append-mode semantics)."""
+    """A straggler far older than the watermark must not appear in the
+    finalized output — exercised through the SHIPPED operator."""
     tmp = f"{TMP}_late"
     shutil.rmtree(tmp, ignore_errors=True)
     on_time = events.filter(F.col("event_id") < 500)
     on_time.write.mode("overwrite").parquet(f"{tmp}/in")
+    W.run_windowed_event_counts(spark, f"{tmp}/in", f"{tmp}/ckpt", f"{tmp}/out", EVENTS_SCHEMA)
 
-    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(f"{tmp}/in")
-    agg = (
-        stream.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "300 seconds").alias("w"), "event_type")
-        .agg(F.count("*").cast("long").alias("n"))
-        .select(F.col("w.start").cast("timestamp").cast("long").alias("ws"), "event_type", "n")
+    # straggler: 1 day older than everything seen — far past the
+    # 10-minute watermark; then a fence so every live window finalizes
+    old = (
+        on_time.orderBy("ts").limit(1)
+        .withColumn("ts", F.col("ts") - F.expr("INTERVAL 1 DAY"))
+        .withColumn("event_id", F.lit(999999))
     )
-
-    def run():
-        q = (
-            agg.writeStream.outputMode("append").format("parquet")
-            .option("path", f"{tmp}/out")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True).start()
-        )
-        q.awaitTermination()
-
-    run()
-    # straggler: an event 1 day older than everything already seen —
-    # far past the 10-minute watermark
-    old = on_time.orderBy("ts").limit(1).withColumn(
-        "ts", F.col("ts") - F.expr("INTERVAL 1 DAY")
-    ).withColumn("event_id", F.lit(999999))
     old.write.mode("append").parquet(f"{tmp}/in")
-    run()
+    _fence(on_time).write.mode("append").parquet(f"{tmp}/in")
+    W.run_windowed_event_counts(spark, f"{tmp}/in", f"{tmp}/ckpt", f"{tmp}/out", EVENTS_SCHEMA)
+
     rows = spark.read.parquet(f"{tmp}/out").collect()
-    # the late event's day-old window was already past the watermark:
-    # it must not appear in the emitted (finalized) windows
     late_ws = (
         old.select(F.col("ts").cast("timestamp").cast("long")).collect()[0][0]
         // 300 * 300
     )
-    assert not any(r["ws"] == late_ws for r in rows), rows[:5]
+    assert not any(r["window_start"] == late_ws for r in rows), rows[:5]
+    assert len(rows) > 0
+
+
+def _batch_sessions(events):
+    return {
+        (r.user_id, r.start_epoch, r.end_epoch, r.n_events, round(r.total_value, 6))
+        for r in analytics.sessionize(events, gap_minutes=30).collect()
+    }
+
+
+def _drop_last_per_user(sessions):
+    last = {}
+    for u, st, e, n, t in sessions:
+        if u not in last or st > last[u][1]:
+            last[u] = ((u, st, e, n, t), st)
+    return sessions - {v[0] for v in last.values()}
 
 
 def test_stateful_sessionize_matches_batch(spark, events):
     tmp = f"{TMP}_sess"
     shutil.rmtree(tmp, ignore_errors=True)
     events.write.mode("overwrite").parquet(f"{tmp}/in")
-    W.sessionize_stream(
-        spark, f"{tmp}/in", f"{tmp}/ckpt", "stream_sessions", EVENTS_SCHEMA, gap_sec=1800
-    )
+    W.sessionize_stream(spark, f"{tmp}/in", f"{tmp}/ckpt", f"{tmp}/out", EVENTS_SCHEMA, gap_sec=1800)
     got = {
         (r.user_id, r.session_start, r.session_end, r.n_events, round(r.total_value, 6))
-        for r in spark.sql("SELECT * FROM stream_sessions").collect()
+        for r in spark.read.parquet(f"{tmp}/out").collect()
     }
-    want_all = {
-        (r.user_id, r.start_epoch, r.end_epoch, r.n_events, round(r.total_value, 6))
-        for r in analytics.sessionize(events, gap_minutes=30).collect()
+    # emitted == batch minus each user's final (still-open) session
+    want = _drop_last_per_user(_batch_sessions(events))
+    assert got == want and len(got) > 0
+
+
+def test_stateful_sessionize_restartable_across_runs(spark, events):
+    """Open sessions survive in GroupState across availableNow runs
+    (file sink + checkpoint recovery): splitting the input at a time
+    threshold and running twice yields the same closed sessions as one
+    run over everything."""
+    tmp = f"{TMP}_sess2"
+    shutil.rmtree(tmp, ignore_errors=True)
+    cut = events.agg(F.expr("percentile(cast(cast(ts as timestamp) as long), 0.5)")).collect()[0][0]
+    early = events.filter(F.col("ts").cast("timestamp").cast("long") <= cut)
+    late = events.filter(F.col("ts").cast("timestamp").cast("long") > cut)
+    early.write.mode("overwrite").parquet(f"{tmp}/in")
+    W.sessionize_stream(spark, f"{tmp}/in", f"{tmp}/ckpt", f"{tmp}/out", EVENTS_SCHEMA, gap_sec=1800)
+    late.write.mode("append").parquet(f"{tmp}/in")
+    W.sessionize_stream(spark, f"{tmp}/in", f"{tmp}/ckpt", f"{tmp}/out", EVENTS_SCHEMA, gap_sec=1800)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.total_value, 6))
+        for r in spark.read.parquet(f"{tmp}/out").collect()
     }
-    # the stream emits sessions CLOSED by a later event crossing the
-    # gap; each user's final session is still open (stays in state for
-    # the next run), so: emitted == batch minus each user's last session
-    last_per_user = {}
-    for u, st, e, n, t in want_all:
-        if u not in last_per_user or st > last_per_user[u][1]:
-            last_per_user[u] = ((u, st, e, n, t), st)
-    want_closed = want_all - {v[0] for v in last_per_user.values()}
-    assert got == want_closed
-    assert len(got) > 0
+    want = _drop_last_per_user(_batch_sessions(events))
+    assert got == want and len(got) > 0
