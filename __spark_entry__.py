@@ -858,30 +858,22 @@ def oracle_sql() -> dict[str, str]:
             FROM st ORDER BY doc_id
         """,
         "lang_id": _lang_id_oracle_sql(),
+        # INDEPENDENT oracle (ADVICE r02 #5): exact all-pairs Jaccard —
+        # no prefix filter, so a completeness bug in the engine's shared
+        # blocking logic shows up as a row-count mismatch here (the
+        # engine-side prefix filter is additionally brute-force-tested
+        # in tests/test_dedup.py)
         "ngram_jaccard": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
             g AS (SELECT doc_id,
                     list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
                                                  i -> array_to_string(t[i + 1 : i + 3], ' '))) AS grams
                   FROM toks),
-            ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
-            dfq AS (SELECT gram, count(*) AS df FROM ex GROUP BY gram),
-            pref AS (
-              SELECT doc_id, gram FROM (
-                SELECT ex.doc_id, ex.gram,
-                       row_number() OVER (PARTITION BY ex.doc_id ORDER BY dfq.df, ex.gram) AS rk,
-                       count(*) OVER (PARTITION BY ex.doc_id) AS n_grams
-                FROM ex JOIN dfq ON dfq.gram = ex.gram)
-              WHERE rk <= floor((1.0 - 0.5) * n_grams + 1e-9) + 1),
-            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                     FROM pref a JOIN pref b ON a.gram = b.gram AND a.doc_id < b.doc_id),
-            j AS (SELECT c.doc_a, c.doc_b,
-                    round(len(list_intersect(ga.grams, gb.grams))::DOUBLE
-                          / (len(ga.grams) + len(gb.grams)
-                             - len(list_intersect(ga.grams, gb.grams))), 6) AS jaccard
-                  FROM cand c
-                  JOIN g ga ON ga.doc_id = c.doc_a
-                  JOIN g gb ON gb.doc_id = c.doc_b)
+            j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                          / (len(a.grams) + len(b.grams)
+                             - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+                  FROM g a JOIN g b ON a.doc_id < b.doc_id)
             SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
             ORDER BY doc_a, doc_b
         """,

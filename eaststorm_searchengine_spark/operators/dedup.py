@@ -165,7 +165,16 @@ def minhash_candidates(
     instead emit *star* pairs to the bucket's min-id representative
     (m-1 pairs), which preserves the connected components downstream
     dedup actually consumes (a standard LSH-at-scale mitigation; cf.
-    the union-find step of Broder-style dedup pipelines)."""
+    the union-find step of Broder-style dedup pipelines).
+
+    Return contract (ADVICE r02 #3): for pairs routed only through
+    ≤-cap buckets, ``n_shared_bands`` is the exact band-collision
+    count; for pairs touching an over-cap bucket it is a LOWER BOUND
+    (star pairs count collisions with the representative only, and
+    non-rep/non-rep pairs of such buckets are represented transitively
+    via the rep, not emitted).  Consumers using ``n_shared_bands`` as a
+    similarity *weight* rather than connectivity evidence should
+    re-verify with an exact measure (e.g. :func:`ngram_jaccard_pairs`)."""
     rows_per_band = N_HASHES // n_bands
     sigs = docs.select(
         F.col(id_col).alias("doc_id"), minhash_udf(F.col(text_col)).alias("sig")
@@ -250,16 +259,31 @@ def simhash_buckets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
 def simhash_near_dups(
     docs: DataFrame, max_hamming: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
+    max_block_docs: int = 256,
 ) -> DataFrame:
-    """COMPLETE SimHash near-dup pairs (hamming(a, b) ≤ max_hamming)
-    via Manku-Jain-Sarma bit-block blocking (WWW'07 "Detecting
+    """SimHash near-dup pairs (hamming(a, b) ≤ max_hamming) via
+    Manku-Jain-Sarma bit-block blocking (WWW'07 "Detecting
     near-duplicates for web crawling", public literature): split the
     64-bit fingerprint into ``max_hamming + 1`` blocks — by pigeonhole,
     any pair within hamming distance k agrees exactly on at least one
     block — then verify candidates with exact ``bit_count(a XOR b)``.
     All blocking/verify math is JVM-side (whole-stage codegen); the
     only Python is the vectorized simhash UDF.  GroupBy keys are
-    (block_idx, block_bits): bounded width, uniform shuffle."""
+    (block_idx, block_bits): bounded width, uniform shuffle.
+
+    Hot-block bound (VERDICT r02 #1): identical documents have
+    IDENTICAL fingerprints, so a corpus with m copies of one page —
+    the exact flood dedup exists for — puts all m in every block
+    bucket and the self-join goes m²/2.  Blocks holding more than
+    ``max_block_docs`` fingerprints instead emit *star* candidates to
+    the block's min-id representative (m-1 pairs), mirroring
+    :func:`minhash_candidates`.  Completeness: exact for every pair
+    whose agreeing block is ≤-cap; over-cap blocks keep equal
+    fingerprints fully connected through hamming-0 star edges (the
+    flood case), while unequal-fingerprint pairs inside an over-cap
+    block are connected transitively via the rep when both verify
+    against it — the connected components downstream dedup consumes
+    survive; individual far-from-rep edges may not."""
     k = max_hamming
     n_blocks = k + 1
     width = 64 // n_blocks
@@ -273,16 +297,35 @@ def simhash_near_dups(
     bands = sh.select(
         "doc_id", "sh", F.explode(F.array(*block_cols)).alias("e")
     ).select("doc_id", "sh", F.col("e.blk").alias("blk"), F.col("e.bits").alias("bits"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    # ONE hash shuffle on (blk, bits) for the count + representative;
+    # the small-block self-join below reuses its output partitioning
+    from pyspark.sql import Window
+
+    w_blk = Window.partitionBy("blk", "bits")
+    bands = bands.withColumn("n_in_block", F.count("*").over(w_blk)).withColumn(
+        "rep", F.min(F.struct("doc_id", "sh")).over(w_blk)
+    )
+    small = bands.filter(F.col("n_in_block") <= max_block_docs).drop("n_in_block", "rep")
+    a, b = small.alias("a"), small.alias("b")
+    small_cand = (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.bits") == F.col("b.bits"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
             F.col("a.sh").alias("sha"), F.col("b.sh").alias("shb"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
     )
+    big_cand = (
+        bands.filter(
+            (F.col("n_in_block") > max_block_docs)
+            & (F.col("doc_id") != F.col("rep.doc_id"))
+        )
+        .select(
+            F.col("rep.doc_id").alias("doc_a"), F.col("doc_id").alias("doc_b"),
+            F.col("rep.sh").alias("sha"), F.col("sh").alias("shb"),
+        )
+    )
+    cand = small_cand.unionByName(big_cand).dropDuplicates(["doc_a", "doc_b"])
     return (
         cand.withColumn("hamming", F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).cast("int"))
         .filter(F.col("hamming") <= k)
@@ -308,21 +351,18 @@ def ngram_jaccard_pairs(
     are cold by construction (the lexicographic-smallest-gram heuristic
     this replaces made every doc sharing a common smallest gram a hot
     join key).  Shuffles: gram-df agg, per-doc rank window, prefix
-    self-join, verify joins — all keyed on bounded values."""
+    self-join, verify joins — all keyed on bounded values.
+
+    Verification is COUNT-based (VERDICT r02 #4): |A∩B| comes from
+    joining candidate pairs to the already-exploded gram table —
+    (pair, gram) rows stream through partial aggregation — and
+    |A∪B| = |A| + |B| − |A∩B| from per-doc gram counts, so no row ever
+    carries a whole document's gram array through a shuffle (the array
+    formulation shipped ~|doc| strings per candidate pair; it survives
+    as :func:`ngram_jaccard_pairs_arrays`, the pytest cross-check)."""
     from pyspark.sql import Window
 
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(
-            F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.greatest(F.size(F.split(F.col(text_col), " ")) - n, F.lit(0)),
-                ),
-                lambda i: F.concat_ws(" ", F.slice(F.split(F.col(text_col), " "), i + 1, n)),
-            )
-        ).alias("grams"),
-    )
+    grams = _gram_sets(docs, text_col, id_col, n)
     ex = grams.select("doc_id", F.explode("grams").alias("gram"))
     dfreq = ex.groupBy("gram").agg(F.count("*").alias("df"))
     w_rank = Window.partitionBy("doc_id").orderBy("df", "gram")
@@ -335,6 +375,73 @@ def ngram_jaccard_pairs(
         # exact integer when t*n is whole (e.g. t=0.8, n=10 → 1.9999…),
         # which would shorten the prefix and break completeness; erring
         # one longer is always safe (more candidates, still complete)
+        .filter(F.col("rk") <= F.floor((1.0 - threshold) * F.col("n_grams") + 1e-9) + 1)
+        .select("doc_id", "gram")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    gcnt = ex.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    ea = ex.select(F.col("doc_id").alias("doc_a"), "gram")
+    eb = ex.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = (
+        inter.join(gcnt.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na")), "doc_a")
+        .join(gcnt.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb")), "doc_b")
+        .withColumn("un", F.col("na") + F.col("nb") - F.col("n_inter"))
+        # un ≥ 1 always (candidates share a gram); the when-guard keeps
+        # Spark 4's ANSI DIVIDE_BY_ZERO out of the plan regardless
+        .withColumn("jaccard", F.round(F.col("n_inter") / F.when(F.col("un") != 0, F.col("un")), 6))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return jac.filter(F.col("jaccard") >= threshold).orderBy("doc_a", "doc_b")
+
+
+def _gram_sets(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(doc_id, grams): the distinct word-n-gram set per document."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size(F.split(F.col(text_col), " ")) - n, F.lit(0)),
+                ),
+                lambda i: F.concat_ws(" ", F.slice(F.split(F.col(text_col), " "), i + 1, n)),
+            )
+        ).alias("grams"),
+    )
+
+
+def ngram_jaccard_pairs_arrays(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, threshold: float = 0.8,
+) -> DataFrame:
+    """Array-based verification variant: identical candidate generation
+    (same complete prefix filter), but Jaccard computed with
+    ``array_intersect``/``array_union`` over whole gram arrays.  Kept
+    ONLY as the pytest cross-check for :func:`ngram_jaccard_pairs` —
+    at scale the arrays ride the verify shuffle once per candidate
+    pair (VERDICT r02 #4), so it is never the production path."""
+    from pyspark.sql import Window
+
+    grams = _gram_sets(docs, text_col, id_col, n)
+    ex = grams.select("doc_id", F.explode("grams").alias("gram"))
+    dfreq = ex.groupBy("gram").agg(F.count("*").alias("df"))
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "gram")
+    w_doc = Window.partitionBy("doc_id")
+    prefix = (
+        ex.join(dfreq, "gram")
+        .withColumn("rk", F.row_number().over(w_rank))
+        .withColumn("n_grams", F.count("*").over(w_doc))
         .filter(F.col("rk") <= F.floor((1.0 - threshold) * F.col("n_grams") + 1e-9) + 1)
         .select("doc_id", "gram")
     )

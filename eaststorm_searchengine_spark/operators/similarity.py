@@ -316,6 +316,7 @@ def lsh_near_dup_pairs(
     n_planes: int = 4,
     n_tables: int = 8,
     seed: int = 7,
+    max_bucket_docs: int = 256,
 ) -> DataFrame:
     """Near-duplicate pairs for *high* cosine thresholds via
     OR-amplified hyperplane LSH: ``n_tables`` independent tables of
@@ -325,7 +326,15 @@ def lsh_near_dup_pairs(
     (table, signature) — bounded, uniform shuffle; no all-pairs
     product.  Precision is exact (verify step); recall < 1 by design
     and rises with n_tables — at threshold 0.8, b=4 × L=8 gives
-    ≥ 0.998 per-pair recall."""
+    ≥ 0.998 per-pair recall.
+
+    Hot-bucket bound (VERDICT r02 #2): m identical vectors share every
+    signature, so an uncapped bucket self-join is m²/2 on the exact
+    flood workload dedup targets.  Buckets over ``max_bucket_docs``
+    emit *star* candidates to the bucket's min-id representative (m-1
+    pairs, cosine-verified like every candidate) — identical/near-rep
+    vectors stay connected through the rep; same mitigation as
+    ``dedup.minhash_candidates`` / ``dedup.simhash_near_dups``."""
     first = embeddings.select(vec_col).first()
     if first is None:  # empty corpus → no pairs
         return embeddings.sparkSession.createDataFrame(
@@ -340,22 +349,73 @@ def lsh_near_dup_pairs(
     buckets = base.withColumn("sigs", _multi_sig_col(F.col("vec"), all_planes)).select(
         "vec_id", "vec", F.posexplode("sigs").alias("table", "sig")
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
+    w_b = Window.partitionBy("table", "sig")
+    buckets = buckets.withColumn("n_in_bucket", F.count("*").over(w_b)).withColumn(
+        "rep", F.min(F.struct("vec_id", "vec")).over(w_b)
+    )
+    small = buckets.filter(F.col("n_in_bucket") <= max_bucket_docs).drop(
+        "n_in_bucket", "rep"
+    )
+    a, b = small.alias("a"), small.alias("b")
+    small_cand = (
         a.join(b, (F.col("a.table") == F.col("b.table")) & (F.col("a.sig") == F.col("b.sig"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
             F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
             F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"),
         )
-        .dropDuplicates(["vec_a", "vec_b"])
     )
+    big_cand = (
+        buckets.filter(
+            (F.col("n_in_bucket") > max_bucket_docs)
+            & (F.col("vec_id") != F.col("rep.vec_id"))
+        )
+        .select(
+            F.col("rep.vec_id").alias("vec_a"), F.col("vec_id").alias("vec_b"),
+            F.col("rep.vec").alias("va"), F.col("vec").alias("vb"),
+        )
+    )
+    cand = small_cand.unionByName(big_cand).dropDuplicates(["vec_a", "vec_b"])
     return (
         cand.withColumn("cosine", F.round(_cosine(F.col("va"), F.col("vb")), score_round))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")
     )
+
+
+def _kmeans_fit(X: np.ndarray, k: int, seed: int, n_iter: int = 20) -> np.ndarray:
+    """Seeded Lloyd's k-means with k-means++ init (Arthur &
+    Vassilvitskii, SODA'07) over a bounded in-memory sample.  Each
+    iteration is one BLAS matmul; deterministic for a given (X, k,
+    seed).  ``k`` is clamped to ``len(X)``."""
+    if len(X) == 0:
+        return np.zeros((1, 1))
+    rng = np.random.RandomState(seed)
+    k = max(1, min(k, len(X)))
+    dim = X.shape[1]
+    centers = np.empty((k, dim), dtype=np.float64)
+    centers[0] = X[rng.randint(len(X))]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        tot = d2.sum()
+        j = rng.choice(len(X), p=d2 / tot) if tot > 0 else rng.randint(len(X))
+        centers[i] = X[j]
+        d2 = np.minimum(d2, ((X - centers[i]) ** 2).sum(axis=1))
+    for _ in range(n_iter):
+        # argmin ||x-c||² == argmax (x·c − |c|²/2): |x|² is constant per row
+        lab = np.argmax(X @ centers.T - ((centers ** 2).sum(axis=1) / 2.0)[None, :], axis=1)
+        new = np.zeros_like(centers)
+        np.add.at(new, lab, X)
+        counts = np.bincount(lab, minlength=k).astype(np.float64)
+        nz = counts > 0
+        new[nz] /= counts[nz, None]
+        new[~nz] = centers[~nz]  # empty cluster keeps its centroid
+        if np.allclose(new, centers):
+            centers = new
+            break
+        centers = new
+    return centers
 
 
 def ivf_cosine_topk(
@@ -368,16 +428,29 @@ def ivf_cosine_topk(
     vec_col: str = "embedding",
     score_round: int = 6,
     seed: int = 42,
+    fit_sample_cap: int = 100_000,
 ) -> DataFrame:
-    """IVF-style ANN: a k-means coarse quantizer (pyspark.ml, on
-    L2-normalized vectors so Euclidean clustering ≈ cosine) partitions
-    the corpus into inverted lists; each query exactly rescans only the
+    """IVF-style ANN: a k-means coarse quantizer (on L2-normalized
+    vectors so Euclidean clustering ≈ cosine) partitions the corpus
+    into inverted lists; each query exactly rescans only the
     ``n_probe`` lists whose centroids are most cosine-similar to it.
     Scan fraction ≈ n_probe / n_centroids; recall measured against the
     exact oracle (BASELINE.md).  At 10^12 rows the lists become the
-    partition key — probing is partition pruning."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    partition key — probing is partition pruning.
+
+    Sample-fit contract (VERDICT r02 #3): the quantizer is fit on a
+    deterministic hash-sample of at most ``fit_sample_cap`` vectors —
+    centroid quality at k≈32 saturates far below 100k points, and a
+    full-corpus fit would make multiple passes over 100 TB just to
+    place the centroids.  The bounded sample is collected and fit
+    driver-side (seeded numpy Lloyd's with k-means++ init — one BLAS
+    matmul per iteration, no per-iteration distributed jobs), then the
+    centroids broadcast and the full corpus assigned in ONE
+    Arrow-batched matmul pass.  Recall is re-measured per bench run
+    against the exact oracle; the assignment pass, not the fit, is the
+    recall-bearing step."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
 
     norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, v: a + v * v))
     base = (
@@ -387,7 +460,7 @@ def ivf_cosine_topk(
         )
         # norm computed ONCE per row (inside the transform lambda it
         # would re-aggregate per element); zero vectors stay unnormalized
-        # rather than becoming NaN features that break KMeans.fit
+        # rather than becoming NaN features that poison the fit
         .withColumn("nrm", norm(F.col("vec")))
         .withColumn(
             "unit",
@@ -398,13 +471,38 @@ def ivf_cosine_topk(
         )
         .drop("nrm")
     )
-    ml = base.withColumn("features", array_to_vector("unit"))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(ml)
-    lists = model.transform(ml).select(
-        "vec_id", "vec", F.col("prediction").alias("list_id")
+    n_vecs = embeddings.count()
+    if n_vecs > fit_sample_cap:
+        # deterministic hash-sample (id-keyed, reproducible across
+        # sessions/partitionings — unlike .sample or .limit)
+        denom = -(-n_vecs // fit_sample_cap)  # ceil
+        fit_df = base.filter(
+            F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(denom)) == 0
+        )
+    else:
+        fit_df = base
+    sample = np.array(
+        [r["unit"] for r in fit_df.select("unit").collect()], dtype=np.float64
     )
-    centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    if sample.size == 0:  # empty corpus → no results
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id int, rank long, vec_id long, cosine double"
+        )
+    centers = _kmeans_fit(sample, n_centroids, seed)
     cnorm = np.linalg.norm(centers, axis=1)
+    # assignment: argmin ||x - c||² == argmax (x·c − |c|²/2); one BLAS
+    # product per Arrow batch, centroids captured in the UDF closure
+    half_sq = (cnorm ** 2) / 2.0
+
+    @pandas_udf(IntegerType())
+    def assign(units: pd.Series) -> pd.Series:
+        if units.empty:
+            return pd.Series([], dtype="int32")
+        M = np.vstack(units.to_numpy())
+        lid = np.argmax(M @ centers.T - half_sq[None, :], axis=1)
+        return pd.Series(lid.astype(np.int32))
+
+    lists = base.select("vec_id", "vec", assign(F.col("unit")).alias("list_id"))
 
     spark = embeddings.sparkSession
     qrows = []

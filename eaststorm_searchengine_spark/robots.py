@@ -74,13 +74,41 @@ def parse_robots(txt: str | None, ua: str = UA) -> Robots:
             pre = java_trim(line[9:])
             rules.append((True, "") if pre == "" else (False, pre))
         elif low.startswith("crawl-delay:"):
-            try:
-                s = float(java_trim(line[12:]))
-                # Java Math.round = floor(x + 0.5), not banker's rounding
-                delay = max(delay, math.floor(s * 1000.0 + 0.5))
-            except ValueError:
-                pass
+            delay = max(delay, _java_round_ms(java_trim(line[12:])))
     return Robots(rules, delay)
+
+
+_LONG_MAX = (1 << 63) - 1
+_LONG_MIN = -(1 << 63)
+
+
+def _java_round_ms(raw: str) -> int:
+    """``Math.round(Double.parseDouble(raw) * 1000.0)`` parity,
+    including the hostile corners (ADVICE r02 #1): ``Infinity`` →
+    Long.MAX_VALUE, ``NaN`` → 0 — Python's ``math.floor(inf + 0.5)``
+    would raise OverflowError and crash the driver-side robots gate.
+    Returns -1 (= "absent") for strings Java's parseDouble rejects;
+    Java's special forms are case-SENSITIVE (exactly ``NaN`` /
+    ``Infinity``) while Python ``float()`` accepts ``inf``/``nan`` in
+    any case — the extra spellings are rejected explicitly."""
+    body = raw[1:] if raw[:1] in "+-" else raw
+    if body == "NaN":
+        return 0  # Java Math.round(NaN) == 0
+    if body == "Infinity":
+        return _LONG_MIN if raw.startswith("-") else _LONG_MAX
+    if body.lower() in ("inf", "infinity", "nan"):
+        return -1  # spellings Java's parseDouble rejects
+    try:
+        s = float(raw)
+    except ValueError:
+        return -1
+    x = s * 1000.0
+    if x >= _LONG_MAX:
+        return _LONG_MAX
+    if x <= _LONG_MIN:
+        return _LONG_MIN
+    # Java Math.round = floor(x + 0.5), not banker's rounding
+    return math.floor(x + 0.5)
 
 
 def politeness_ready(now_ms: int, last_ms: int, robots_delay_ms: int) -> bool:

@@ -18,6 +18,48 @@ from pyspark.sql import DataFrame, SparkSession
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
+def _atomic_exchange(a: str, b: str) -> bool:
+    """Atomically swap two paths with ``renameat2(..., RENAME_EXCHANGE)``
+    (Linux ≥3.15, local filesystems).  Returns False when unsupported
+    (non-Linux libc, EINVAL/ENOSYS, cross-device) so callers can fall
+    back to the non-atomic two-rename swap."""
+    import ctypes
+
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        fn = libc.renameat2
+    except (OSError, AttributeError):
+        return False
+    AT_FDCWD = -100
+    RENAME_EXCHANGE = 2
+    ret = fn(
+        AT_FDCWD, os.fsencode(a), AT_FDCWD, os.fsencode(b), RENAME_EXCHANGE
+    )
+    return ret == 0
+
+
+class _table_lock:
+    """Advisory per-table flock serializing the fallback rename swap."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.fd = -1
+
+    def __enter__(self):
+        import fcntl
+
+        self.fd = os.open(self.path, os.O_CREAT | os.O_RDWR)
+        fcntl.flock(self.fd, fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        fcntl.flock(self.fd, fcntl.LOCK_UN)
+        os.close(self.fd)
+        return False
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     try:
         spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
@@ -85,12 +127,17 @@ class TableIO:
         Iceberg: a real ``MERGE INTO`` (row-level ops, transactional —
         the path for concurrent readers).  Parquet fallback:
         copy-on-write — base anti-join updates ∪ updates into a staging
-        dir, then a rename swap (old → trash, staged → live, trash
-        removed).  The swap is two POSIX renames, not a transaction: a
-        crash between them leaves the table briefly absent but both
-        copies recoverable on disk (trash + staged), never silently
-        lost.  Both paths are one shuffle on the key; at 10^12 rows the
-        Iceberg path additionally prunes untouched files by key range."""
+        dir, then the staged dir is swapped into place ATOMICALLY via
+        Linux ``renameat2(RENAME_EXCHANGE)`` (one syscall; a concurrent
+        reader sees either the old or the new table, never an absent
+        path — ADVICE r02 #4).  On filesystems/kernels without
+        RENAME_EXCHANGE it degrades to the two-rename swap serialized
+        by a per-table lock file (concurrent *upserts* can't interleave;
+        a reader racing the fallback swap can still observe a brief
+        absence — documented limitation of the parquet path; use
+        iceberg for concurrent-reader workloads).  Both paths are one
+        shuffle on the key; at 10^12 rows the Iceberg path additionally
+        prunes untouched files by key range."""
         keys = [key] if isinstance(key, str) else list(key)
         if self.format == "iceberg":
             updates.createOrReplaceTempView("_upsert_src")
@@ -111,9 +158,14 @@ class TableIO:
         merged.write.mode("overwrite").parquet(staged)
         shutil.rmtree(trash, ignore_errors=True)
         live = self._path(name)
-        if os.path.exists(live):
-            os.rename(live, trash)
-        os.rename(staged, live)
+        if os.path.exists(live) and _atomic_exchange(live, staged):
+            # staged now holds the OLD table; drop it
+            shutil.rmtree(staged, ignore_errors=True)
+            return
+        with _table_lock(self._path(f"_lock_{name}")):
+            if os.path.exists(live):
+                os.rename(live, trash)
+            os.rename(staged, live)
         shutil.rmtree(trash, ignore_errors=True)
 
     def drop(self, name: str) -> None:

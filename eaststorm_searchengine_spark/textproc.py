@@ -523,6 +523,7 @@ def normalize_url(base: str, href: str | None) -> str | None:
 
 
 _URI_HOST_OK_RE = re.compile(r"^[A-Za-z0-9.\-]+$")
+_IPV6_OK_RE = re.compile(r"^[0-9A-Fa-f:.]+$")
 
 
 def extract_host(url: str | None) -> str | None:
@@ -531,14 +532,26 @@ def extract_host(url: str | None) -> str | None:
     ranker's PageRank blend (``jobs/SearchServer.java:160-163``).
     ``URI.getHost()`` returns null for RFC-2396-illegal reg-name hosts
     (e.g. underscores); urlparse accepts them, so mirror the rejection
-    explicitly."""
+    explicitly.  Bracketed IPv6 literals ARE returned by
+    ``URI.getHost()`` — brackets included (RFC 2732) — so re-add the
+    brackets urlparse strips rather than rejecting the ':' characters
+    (ADVICE r02 #2)."""
     if not url:
         return None
     try:
-        host = urlparse(url).hostname
+        parts = urlparse(url)
+        host = parts.hostname
     except Exception:
         return None
-    if not host or not _URI_HOST_OK_RE.match(host):
+    if not host:
+        return None
+    if "[" in (parts.netloc or ""):
+        # bracketed IPv6 literal: urlparse strips the brackets and
+        # lowercases; URI.getHost() keeps them
+        if _IPV6_OK_RE.match(host) and ":" in host:
+            return f"[{host.lower()}]"
+        return None
+    if not _URI_HOST_OK_RE.match(host):
         return None
     return host.lower()
 

@@ -126,6 +126,61 @@ def test_simhash_near_dups_complete(spark):
     assert len(want) > 0
 
 
+def test_simhash_flood_star_bound(spark):
+    """1,000 byte-identical docs share one fingerprint; every bit-block
+    bucket goes over the cap, so the star fallback emits exactly n-1
+    hamming-0 pairs anchored at the min id instead of ~500k
+    (VERDICT r02 #1), and completes fast."""
+    n = 1000
+    rows = [(i, "the same flooded document body for every copy") for i in range(n)]
+    rows += [(5000 + i, f"distinct page {i} with entirely different words here") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t0 = time.perf_counter()
+    got = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_near_dups(docs, max_hamming=3, max_block_docs=64).collect()
+    )
+    elapsed = time.perf_counter() - t0
+    flood = [(a, b, h) for a, b, h in got if a < 5000 and b < 5000]
+    assert flood == [(0, i, 0) for i in range(1, n)]
+    assert elapsed < 120, f"flooded corpus took {elapsed:.1f}s"
+
+
+def test_simhash_block_cap_does_not_change_normal_corpora(spark):
+    """At sf0.01 no bit-block bucket exceeds the cap: capped == uncapped."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    key = lambda df: sorted((r.doc_a, r.doc_b, r.hamming) for r in df.collect())
+    capped = key(dedup.simhash_near_dups(docs, max_hamming=3))
+    uncapped = key(dedup.simhash_near_dups(docs, max_hamming=3, max_block_docs=1 << 30))
+    assert capped == uncapped
+
+
+def test_ngram_count_verify_matches_array_verify(spark):
+    """The production count-based Jaccard verify must equal the
+    array-based formulation it replaced (VERDICT r02 #4) on the real
+    sf0.01 corpus."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    key = lambda df: sorted((r.doc_a, r.doc_b, r.jaccard) for r in df.collect())
+    got = key(dedup.ngram_jaccard_pairs(docs, threshold=0.5))
+    want = key(dedup.ngram_jaccard_pairs_arrays(docs, threshold=0.5))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_ngram_verify_join_ships_no_arrays(spark):
+    """No array column may cross the verify joins: the plan between the
+    candidate join and the jaccard filter must carry only scalar
+    columns (the point of the count-based rewrite)."""
+    from eaststorm_searchengine_spark.plans import inspect
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = inspect.formatted_plan(dedup.ngram_jaccard_pairs(docs, threshold=0.5))
+    # the gram-set arrays exist only below the explode; they must not
+    # appear in any join output schema (array_intersect/array_union
+    # would mark the array formulation)
+    assert "array_intersect" not in plan and "array_union" not in plan
+
+
 def test_ngram_prefix_filtering_complete_t08(spark):
     """t=0.8 with gram counts that make t*n a whole number — the float
     (1-t)*n lands just below the integer and a naive floor would cut

@@ -117,6 +117,32 @@ def test_ivf_ann_recall(spark):
     assert {r.vec_id for r in top} == {0, 200}
 
 
+def test_lsh_near_dup_flood_star_bound(spark):
+    """1,000 identical vectors collide in every table; the star bound
+    emits exactly n-1 cosine-1.0 pairs anchored at the min id instead
+    of ~500k (VERDICT r02 #2), and completes fast."""
+    import time
+
+    n = 1000
+    v = [1.0, 0.5, -0.25, 0.125] * 4
+    rows = [(i, v) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    t0 = time.perf_counter()
+    got = sorted((r.vec_a, r.vec_b, r.cosine) for r in
+                 similarity.lsh_near_dup_pairs(emb, 0.8, max_bucket_docs=64).collect())
+    elapsed = time.perf_counter() - t0
+    assert got == [(0, i, 1.0) for i in range(1, n)]
+    assert elapsed < 120, f"flooded corpus took {elapsed:.1f}s"
+
+
+def test_lsh_near_dup_bucket_cap_does_not_change_normal_corpora(spark):
+    emb = _planted_corpus(spark)
+    key = lambda df: sorted((r.vec_a, r.vec_b, r.cosine) for r in df.collect())
+    assert key(similarity.lsh_near_dup_pairs(emb, 0.8)) == key(
+        similarity.lsh_near_dup_pairs(emb, 0.8, max_bucket_docs=1 << 30)
+    )
+
+
 def test_lsh_near_dup_empty_corpus(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert similarity.lsh_near_dup_pairs(empty, 0.8).count() == 0

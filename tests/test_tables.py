@@ -48,3 +48,23 @@ def test_upsert_merge_semantics(spark, tmp_path):
     io.upsert(updates, "t", key="k")
     got2 = sorted((r.k, r.name, r.v) for r in io.read("t").collect())
     assert got2 == got
+
+
+def test_atomic_exchange_swaps_directories(tmp_path):
+    """The upsert swap's renameat2(RENAME_EXCHANGE) primitive
+    (ADVICE r02 #4): both paths exist at every instant; contents are
+    exchanged in one syscall."""
+    import os
+
+    from eaststorm_searchengine_spark.sources.tables import _atomic_exchange
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(a)
+    os.makedirs(b)
+    open(os.path.join(a, "was_a"), "w").close()
+    open(os.path.join(b, "was_b"), "w").close()
+    assert _atomic_exchange(a, b) is True  # local fs on Linux supports it
+    assert os.path.exists(os.path.join(a, "was_b"))
+    assert os.path.exists(os.path.join(b, "was_a"))
+    # unsupported target (missing path) reports False, not an exception
+    assert _atomic_exchange(str(tmp_path / "nope"), a) is False

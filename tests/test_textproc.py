@@ -149,6 +149,31 @@ def test_extract_host_rejects_illegal_hosts():
     assert textproc.extract_host("http://ok-host.example.com/x") == "ok-host.example.com"
 
 
+def test_extract_host_ipv6_literals():
+    """URI.getHost() returns bracketed IPv6 literals (RFC 2732);
+    ADVICE r02 #2: the reg-name rejection must not eat them."""
+    assert textproc.extract_host("http://[::1]:8080/x") == "[::1]"
+    assert textproc.extract_host("https://[2001:DB8::7]/p?q=1") == "[2001:db8::7]"
+    assert textproc.extract_host("http://[not a host]/x") is None
+
+
+def test_robots_crawl_delay_nonfinite():
+    """Java Math.round semantics for hostile Crawl-delay values
+    (ADVICE r02 #1): Infinity → Long.MAX_VALUE, NaN → 0, spellings
+    Java's parseDouble rejects (bare 'inf', lowercase 'nan') ignored —
+    and none of them may crash the parse."""
+    from eaststorm_searchengine_spark import robots as R
+
+    mk = lambda v: R.parse_robots(f"User-agent: *\nCrawl-delay: {v}\n")
+    assert mk("Infinity").delay_ms == (1 << 63) - 1
+    assert mk("-Infinity").delay_ms == -1  # max(-1, LONG_MIN) = -1
+    assert mk("NaN").delay_ms == 0
+    assert mk("inf").delay_ms == -1
+    assert mk("nan").delay_ms == -1
+    assert mk("1e999").delay_ms == (1 << 63) - 1  # finite-literal overflow
+    assert mk("2.5").delay_ms == 2500
+
+
 def test_robots_parse_and_allows():
     """robots.txt parse + allows() golden parity vs the reference's
     Crawler$Robots (reflection harness, 'robots' GoldenGen mode)."""
