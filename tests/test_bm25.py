@@ -98,6 +98,27 @@ def test_wand_equals_exhaustive_on_index(idx):
     assert a == b
 
 
+def test_driver_merge_equals_window_rank(idx):
+    """final_rank='driver' (fused single-job plan, VERDICT r02 #7) must
+    reproduce the distributed window ranking exactly — ties, ranks,
+    rounding and all — across the whole fixed query batch."""
+    import __spark_entry__ as E
+
+    a = sorted(
+        tuple(r) for r in idx.search(E.QUERY_SET, k=10, score_round=4).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in idx.search(
+            E.QUERY_SET, k=10, score_round=4, final_rank="driver"
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+    # empty-query edge: both paths return an empty frame of same schema
+    e = idx.search([(1, "@@@")], k=5, final_rank="driver")
+    assert e.count() == 0 and e.columns == ["query_id", "rank", "doc_id", "score"]
+
+
 # ---- randomized WAND equivalence on synthetic posting lists -------------
 
 def _mk_blocks(postings, avgdl):

@@ -106,3 +106,31 @@ def test_crawl_robots_gates_seeds_too(spark):
         robots_map={"a.com": "User-agent: *\nDisallow: /\n"},
     ).collect()
     assert all("a.com" not in r.url for r in out)
+
+
+def test_fetch_join_broadcast_is_size_gated(spark):
+    """VERDICT r02 #5: the frontier is broadcast into the fetch join
+    only below the size threshold — a wide frontier gets a plain join
+    (no broadcast hint in the logical plan; AQE decides at runtime)."""
+    web = spark.createDataFrame(
+        [(f"http://a.com:80/{i}.html", "<html></html>") for i in range(50)],
+        "url string, html string",
+    )
+    frontier = web.select("url")
+    hinted = crawl._fetch_join(web, frontier, frontier_rows=50, broadcast_threshold=100)
+    plain = crawl._fetch_join(web, frontier, frontier_rows=50, broadcast_threshold=10)
+    hinted_logical = hinted._jdf.queryExecution().optimizedPlan().toString()
+    plain_logical = plain._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" in hinted_logical
+    assert "strategy=broadcast" not in plain_logical
+
+
+def test_crawl_same_result_without_broadcast(spark):
+    """The size gate is a physical-strategy choice only: forcing the
+    plain-join path yields identical BFS output."""
+    pages = spark.createDataFrame(MINI_WEB, "url string, html string")
+    key = lambda df: sorted((r.url, r.depth, r.fetched) for r in df.collect())
+    a = key(crawl.crawl_frontier(pages, ["http://a.com/"], max_iters=6))
+    b = key(crawl.crawl_frontier(pages, ["http://a.com/"], max_iters=6,
+                                 broadcast_threshold=0))
+    assert a == b and len(a) > 0

@@ -68,7 +68,6 @@ def test_oracle_match(spark, ddb, name):
 
 # expected minimum row counts for the rows-only queries at sf0.01
 _MIN_ROWS = {
-    "bm25_topk_stemmed": 50,
     "phrase_search": 1,
     "body_index": 10,
     "title_index": 5,
@@ -86,8 +85,7 @@ _MIN_ROWS = {
     "lsh_ann": 1,
     "ivf_ann": 1,
     "crawl_frontier": 2,
-    "host_concentration": 5,
-    "size_histogram": 2,
+    "title_coverage": 1,
     "media_features": 500,
 }
 
