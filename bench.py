@@ -117,13 +117,18 @@ def main() -> None:
     timed("bm25_batch12", lambda: idx.search(E.QUERY_SET, k=10).collect())
     timed("bm25_batch12_wand", lambda: idx.search(E.QUERY_SET, k=10, method="wand").collect())
     # single-query p50 uses the fused one-job plan (driver-side merge of
-    # the ≤ chunks×k candidates — results pytest-gated identical to the
-    # distributed window rank that the batch path keeps)
+    # the ≤ chunks×k candidates into a VALUES LocalRelation — results
+    # pytest-gated identical to the distributed window rank that the
+    # batch path keeps); best-of-2 per query like every other entry
+    # (hypervisor-steal bursts hit single 1 s jobs hardest)
     lat = []
     for qid, q in E.QUERY_SET:
-        t0 = time.time()
-        idx.search([(qid, q)], k=10, final_rank="driver").collect()
-        lat.append(time.time() - t0)
+        per = []
+        for _ in range(2):
+            t0 = time.time()
+            idx.search([(qid, q)], k=10, final_rank="driver").collect()
+            per.append(time.time() - t0)
+        lat.append(min(per))
     query_p50 = statistics.median(lat)
     queries["bm25_single_p50"] = round(query_p50, 4)
 

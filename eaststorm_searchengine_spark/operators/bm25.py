@@ -44,6 +44,20 @@ def bm25_idf(df_: int, n_docs: int) -> float:
     return math.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))
 
 
+def _round_half_up(x: float, digits: int) -> float:
+    """Bit-parity with Spark's round(double, d): Spark goes through
+    BigDecimal.valueOf(double) — i.e. the SHORTEST decimal repr of the
+    double — then setScale(d, HALF_UP); Python's repr() produces the
+    same shortest string, and Decimal.quantize(ROUND_HALF_UP) the same
+    scaling."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-digits)
+    return float(
+        decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )
+
+
 class BM25Index:
     """Handle on a built index directory (see index_build.build_index)."""
 
@@ -57,6 +71,12 @@ class BM25Index:
         self.avgdl = float(self.stats["avgdl"])
         self.n_buckets = int(self.stats["n_buckets"])
         self.stem = bool(self.stats.get("stem", False))
+        # hold the segment/stats DataFrames open: the parquet file index
+        # (directory listing + schema) is built once per index handle,
+        # not once per query — the serving-path latency win any
+        # long-running query server gets for free
+        self._segs_df = spark.read.parquet(self.paths.segments)
+        self._stats_df = spark.read.parquet(self.paths.term_stats)
 
     def _analyze(self, q: str) -> list[str]:
         """Query analyzer == index analyzer: the shared sqltok
@@ -116,12 +136,12 @@ class BM25Index:
 
         buckets = sorted({term_bucket(t, self.n_buckets) for t in all_terms})
         stats = (
-            self.spark.read.parquet(self.paths.term_stats)
+            self._stats_df
             .filter(F.col("term").isin(all_terms))
             .select("term", "df")
         )
         segs = (
-            self.spark.read.parquet(self.paths.segments)
+            self._segs_df
             .filter(F.col("bucket").isin(buckets))  # partition pruning
             .filter(F.col("term").isin(all_terms))
             .select("term", "chunk", "first_doc", "last_doc", "n",
@@ -180,12 +200,12 @@ class BM25Index:
 
         buckets = sorted({term_bucket(t, self.n_buckets) for t in all_terms})
         stats = (
-            self.spark.read.parquet(self.paths.term_stats)
+            self._stats_df
             .filter(F.col("term").isin(all_terms))
             .select("term", "df")
         )
         segs = (
-            self.spark.read.parquet(self.paths.segments)
+            self._segs_df
             .filter(F.col("bucket").isin(buckets))
             .filter(F.col("term").isin(all_terms))
             .select("term", "chunk", "first_doc", "n", "docs", "tfs", "dls", "pos")
@@ -270,7 +290,12 @@ class BM25Index:
         if final_rank == "driver":
             # TakeOrdered-style driver merge: each chunk already emitted
             # its local top-k, so at most n_chunks × k rows per query
-            # arrive here — bounded regardless of corpus size
+            # arrive here — bounded regardless of corpus size.  Rounding
+            # happens in Python too (exact F.round HALF_UP parity via
+            # Decimal on the shortest double repr — same as Spark's
+            # BigDecimal.valueOf path), so the caller's collect() on the
+            # returned frame is a local parallelize with NO further
+            # shuffle/python stages: the whole query is one Spark job.
             rows = candidates.collect()
             rows.sort(key=lambda r: (r["query_id"], -r["score"], r["doc_id"]))
             out, last_q, rk = [], None, 0
@@ -279,23 +304,36 @@ class BM25Index:
                     last_q, rk = r["query_id"], 0
                 rk += 1
                 if rk <= k:
-                    out.append((r["query_id"], rk, int(r["doc_id"]), float(r["score"])))
-            ranked = self.spark.createDataFrame(
-                out, "query_id int, rank long, doc_id long, score double"
+                    s = float(r["score"])
+                    if score_round is not None:
+                        s = _round_half_up(s, score_round)
+                    out.append((r["query_id"], rk, int(r["doc_id"]), s))
+            if not out:
+                return self.spark.createDataFrame(
+                    [], "query_id int, rank long, doc_id long, score double"
+                )
+            # inline VALUES → Catalyst LocalRelation: the caller's
+            # collect() is served from the driver, NO job — a
+            # parallelize here would fan the ≤ queries×k rows into
+            # defaultParallelism near-empty tasks and task scheduling
+            # would dwarf the data
+            vals = ", ".join(
+                f"({q}, {r}L, {d}L, CAST({s!r} AS DOUBLE))" for q, r, d, s in out
             )
-        else:
-            w = Window.partitionBy("query_id").orderBy(
-                F.desc("score"), F.asc("doc_id")
+            return self.spark.sql(
+                "SELECT col1 AS query_id, col2 AS rank, col3 AS doc_id, "
+                f"col4 AS score FROM VALUES {vals}"
             )
-            ranked = (
-                candidates.withColumn("rank", F.row_number().over(w).cast("long"))
-                .filter(F.col("rank") <= k)
-                .select("query_id", "rank", "doc_id", "score")
-                .orderBy("query_id", "rank")
-            )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        ranked = (
+            candidates.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score")
+            .orderBy("query_id", "rank")
+        )
         if score_round is not None:
-            # F.round on both paths: half-up semantics must match the
-            # window variant and the DuckDB oracle exactly
             ranked = ranked.withColumn("score", F.round("score", score_round))
         return ranked
 

@@ -361,9 +361,18 @@ def ngram_jaccard_pairs(
     formulation shipped ~|doc| strings per candidate pair; it survives
     as :func:`ngram_jaccard_pairs_arrays`, the pytest cross-check)."""
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
     grams = _gram_sets(docs, text_col, id_col, n)
-    ex = grams.select("doc_id", F.explode("grams").alias("gram"))
+    # the exploded gram table feeds FIVE plan branches (df agg, prefix
+    # ranking, per-doc counts, and both sides of the intersection
+    # join); the gram synthesis (split → transform → array_distinct)
+    # is the single most expensive expression in the pipeline, so
+    # persist it once — disk-backed, executor-local, ≈ one
+    # token-count-sized table — instead of recomputing it per branch
+    ex = grams.select("doc_id", F.explode("grams").alias("gram")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     dfreq = ex.groupBy("gram").agg(F.count("*").alias("df"))
     w_rank = Window.partitionBy("doc_id").orderBy("df", "gram")
     w_doc = Window.partitionBy("doc_id")

@@ -384,15 +384,35 @@ def lsh_near_dup_pairs(
     )
 
 
-def _kmeans_fit(X: np.ndarray, k: int, seed: int, n_iter: int = 20) -> np.ndarray:
+def _kmeans_fit(
+    X: np.ndarray, k: int, seed: int, n_iter: int = 30, n_init: int = 4
+) -> np.ndarray:
     """Seeded Lloyd's k-means with k-means++ init (Arthur &
-    Vassilvitskii, SODA'07) over a bounded in-memory sample.  Each
-    iteration is one BLAS matmul; deterministic for a given (X, k,
-    seed).  ``k`` is clamped to ``len(X)``."""
+    Vassilvitskii, SODA'07) over a bounded in-memory sample;
+    ``n_init`` independent restarts, best inertia wins (the standard
+    guard against a bad ++ draw — matching the quantizer quality of
+    k-means|| for this use).  Each iteration is one BLAS matmul;
+    deterministic for a given (X, k, seed).  ``k`` clamps to
+    ``len(X)``."""
     if len(X) == 0:
         return np.zeros((1, 1))
-    rng = np.random.RandomState(seed)
     k = max(1, min(k, len(X)))
+    best = None
+    best_inertia = np.inf
+    for trial in range(n_init):
+        centers = _kmeans_once(X, k, seed + 1000 * trial, n_iter)
+        # inertia: sum over rows of min squared distance
+        d = (X ** 2).sum(axis=1)[:, None] - 2.0 * (X @ centers.T) + (
+            centers ** 2
+        ).sum(axis=1)[None, :]
+        inertia = float(d.min(axis=1).sum())
+        if inertia < best_inertia:
+            best, best_inertia = centers, inertia
+    return best
+
+
+def _kmeans_once(X: np.ndarray, k: int, seed: int, n_iter: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
     dim = X.shape[1]
     centers = np.empty((k, dim), dtype=np.float64)
     centers[0] = X[rng.randint(len(X))]
@@ -422,8 +442,8 @@ def ivf_cosine_topk(
     embeddings: DataFrame,
     query_vectors: list[tuple[int, list[float]]],
     k: int = 10,
-    n_centroids: int = 32,
-    n_probe: int = 16,
+    n_centroids: int = 128,
+    n_probe: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_round: int = 6,
@@ -433,10 +453,15 @@ def ivf_cosine_topk(
     """IVF-style ANN: a k-means coarse quantizer (on L2-normalized
     vectors so Euclidean clustering ≈ cosine) partitions the corpus
     into inverted lists; each query exactly rescans only the
-    ``n_probe`` lists whose centroids are most cosine-similar to it.
-    Scan fraction ≈ n_probe / n_centroids; recall measured against the
-    exact oracle (BASELINE.md).  At 10^12 rows the lists become the
-    partition key — probing is partition pruning.
+    ``n_probe`` lists whose centroids score best under the SAME
+    affinity the assignment uses.  Scan fraction ≈ probed list mass;
+    recall measured against the exact oracle (BASELINE.md).  At 10^12
+    rows the lists become the partition key — probing is partition
+    pruning.  List count should grow ≈ √N with the corpus (the
+    classic IVF sizing); the defaults (128 lists, 64 probes ⇒ ~50%
+    mass) are tuned for the bench corpus, where finer quantization at
+    the same probed mass measurably lifts recall (grid in
+    BASELINE.md).
 
     Sample-fit contract (VERDICT r02 #3): the quantizer is fit on a
     deterministic hash-sample of at most ``fit_sample_cap`` vectors —
@@ -508,8 +533,14 @@ def ivf_cosine_topk(
     qrows = []
     for qid, v in query_vectors:
         arr = np.asarray(v, dtype=np.float64)
-        sims = (centers @ arr) / (cnorm * np.linalg.norm(arr) + 1e-12)
-        for lid in np.argsort(-sims)[:n_probe]:
+        nrm = np.linalg.norm(arr)
+        qu = arr / nrm if nrm > 0 else arr
+        # probe by the SAME affinity the assignment uses (unit-vector
+        # Euclidean: qu·c − |c|²/2) — ranking lists by raw cosine here
+        # would probe a different neighborhood than the one the
+        # quantizer filed the vectors under, costing recall
+        aff = qu @ centers.T - (cnorm ** 2) / 2.0
+        for lid in np.argsort(-aff)[:n_probe]:
             qrows.append((qid, [float(x) for x in v], int(lid)))
     qdf = F.broadcast(
         spark.createDataFrame(qrows, "query_id int, qvec array<double>, list_id int")
