@@ -605,6 +605,15 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Near-dup GROUPS (the dedup pipeline's end product): exact
+    n-gram-Jaccard pairs → connected components (hash-min label
+    propagation) → (doc_id, group_id, n_docs).  Oracle: DuckDB
+    recursive CTE computing min-reachable-id per node over the same
+    (independently derived, all-pairs) pair graph."""
+    return dedup.near_dup_groups(_docs(spark, sf_dir), threshold=0.5)
+
+
 def q_lang_id(spark, sf_dir):
     return quality.lang_id(_docs(spark, sf_dir))
 
@@ -683,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_buckets": q_simhash_buckets,
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_groups": q_dedup_groups,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "lsh_ann": q_lsh_ann,
@@ -1032,6 +1042,35 @@ def oracle_sql() -> dict[str, str]:
                   FROM g a JOIN g b ON a.doc_id < b.doc_id)
             SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
             ORDER BY doc_a, doc_b
+        """,
+        # components via recursive CTE (min reachable id over the
+        # symmetric closure) — independent of the engine's hash-min
+        # label-propagation loop AND of its prefix-filter blocking
+        "dedup_groups": """
+            WITH RECURSIVE
+            toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            g AS (SELECT doc_id,
+                    list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+                                                 i -> array_to_string(t[i + 1 : i + 3], ' '))) AS grams
+                  FROM toks),
+            j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM g a JOIN g b ON a.doc_id < b.doc_id
+                  WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                              / (len(a.grams) + len(b.grams)
+                                 - len(list_intersect(a.grams, b.grams))), 6) >= 0.5),
+            e AS (SELECT doc_a AS src, doc_b AS dst FROM j
+                  UNION SELECT doc_b, doc_a FROM j),
+            reach(node, lab) AS (
+              SELECT src, src FROM e
+              UNION
+              SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node
+            ),
+            comp AS (SELECT node, min(lab) AS group_id FROM reach GROUP BY node),
+            sizes AS (SELECT group_id, count(*)::BIGINT AS n_docs
+                      FROM comp GROUP BY group_id)
+            SELECT c.node AS doc_id, c.group_id, s.n_docs
+            FROM comp c JOIN sizes s USING (group_id)
+            ORDER BY group_id, doc_id
         """,
         "phrase_search": sqltok.duckdb_phrase_topk_sql(PHRASES, K),
         "embedding_near_dups": f"""

@@ -430,6 +430,88 @@ def _gram_sets(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame
     )
 
 
+def connected_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(node, component) over the near-dup pair graph — the union-find
+    step every candidate-pair generator feeds (component id = min node
+    id in the component).  Hash-min label propagation (cf. Rastogi et
+    al., ICDE'13 "Finding connected components in Map-Reduce in
+    logarithmic rounds"; this is the plain min-propagation variant):
+    each iteration joins labels to the symmetric edge list, takes the
+    neighborhood min, and stops as soon as no label changed.
+
+    Scale shape: converges in O(component diameter) rounds — and the
+    upstream generators' hot-bucket star bounds make flood components
+    *stars* (diameter 2), so the adversarial mass-duplication case
+    converges in 2 rounds.  Per round: one join + one groupBy, both
+    keyed on node ids; ``localCheckpoint`` truncates lineage like the
+    PageRank loop.  Deep-chain graphs would want the
+    large-star/small-star logarithmic variant; near-dup graphs aren't
+    that."""
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), F.col("comp").alias("nbr_comp")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nbr_comp").alias("min_nbr"))
+        )
+        new = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("min_nbr", "comp")).alias("comp"),
+                (F.coalesce("min_nbr", "comp") < F.col("comp")).alias("chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        labels = new.drop("chg")
+        if new.filter("chg").isEmpty():
+            break
+    return labels
+
+
+def near_dup_groups(
+    docs: DataFrame, threshold: float = 0.5,
+    text_col: str = "text", id_col: str = "doc_id", n: int = 3,
+) -> DataFrame:
+    """The end product of the dedup pipeline: (doc_id, group_id,
+    n_docs) for every document in a near-duplicate group — exact
+    n-gram-Jaccard pairs (complete prefix filtering) → connected
+    components → group sizes.  ``group_id`` is the min doc_id of the
+    group; a keep-one policy is ``filter(doc_id == group_id)``."""
+    pairs = ngram_jaccard_pairs(docs, text_col=text_col, id_col=id_col,
+                                n=n, threshold=threshold)
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("comp").agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        cc.join(sizes, "comp")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("comp").alias("group_id"),
+            "n_docs",
+        )
+        .orderBy("group_id", "doc_id")
+    )
+
+
 def ngram_jaccard_pairs_arrays(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 3, threshold: float = 0.8,

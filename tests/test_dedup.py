@@ -181,6 +181,45 @@ def test_ngram_verify_join_ships_no_arrays(spark):
     assert "array_intersect" not in plan and "array_union" not in plan
 
 
+def test_connected_components_vs_union_find(spark):
+    """Hash-min label propagation == a pure-Python union-find on a
+    graph with chains, stars, a cycle, and singleton-free isolation."""
+    edges = [(1, 2), (2, 3), (3, 4),          # chain
+             (10, 11), (10, 12), (10, 13),    # star
+             (20, 21), (21, 22), (22, 20),    # cycle
+             (30, 31)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = sorted((r.node, r.comp) for r in dedup.connected_components(pairs).collect())
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = sorted((n, find(n)) for n in parent)
+    assert got == want
+
+
+def test_near_dup_groups_flood_converges_fast(spark):
+    """An identical-docs flood must resolve to ONE group in few rounds
+    (the upstream pair generators emit star edges, diameter ≤ 2)."""
+    rows = [(i, "same text body for every single copy here") for i in range(300)]
+    rows += [(900 + i, f"unique doc {i} " + " ".join(f"w{i}x{j}" for j in range(10)))
+             for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.near_dup_groups(docs, threshold=0.5).collect()
+    flood = [(r.doc_id, r.group_id, r.n_docs) for r in got if r.doc_id < 900]
+    assert flood == [(i, 0, 300) for i in range(300)]
+
+
 def test_ngram_prefix_filtering_complete_t08(spark):
     """t=0.8 with gram counts that make t*n a whole number — the float
     (1-t)*n lands just below the integer and a naive floor would cut
