@@ -1109,10 +1109,17 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= {ANN_K} ORDER BY query_id, rank
         """,
     }
+    # needs no aux table (pages carry the documents' lang column) —
+    # registered unconditionally
+    out["language_share"] = """
+        SELECT lang, count(*)::BIGINT AS pages FROM documents
+        GROUP BY lang ORDER BY pages DESC, lang ASC
+    """
     try:
         aux = _oracle_aux_paths()
     except Exception:
-        # aux generation must never take the other oracles down
+        # aux generation must never take the other oracles down; the
+        # five aux-dependent entries degrade to rows-only in that case
         return out
     out["bm25_topk_stemmed"] = _stemmed_bm25_oracle_sql(aux["stem_map"])
     out["host_concentration"] = f"""
@@ -1125,10 +1132,6 @@ def oracle_sql() -> dict[str, str]:
         SELECT (html_len // 1024) * 1024 AS bucket_lo, count(*)::BIGINT AS pages
         FROM read_parquet('{aux["pages_meta"]}')
         GROUP BY 1 ORDER BY bucket_lo
-    """
-    out["language_share"] = """
-        SELECT lang, count(*)::BIGINT AS pages FROM documents
-        GROUP BY lang ORDER BY pages DESC, lang ASC
     """
     out["tld_counts"] = f"""
         WITH h AS (SELECT regexp_extract(url, '^[a-z]+://([^:/]+)', 1) AS host

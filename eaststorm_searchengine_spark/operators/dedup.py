@@ -68,6 +68,63 @@ def distinct_texts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def star_capped_pairs(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    payload_col: str | None = None,
+    cap: int = 256,
+) -> DataFrame:
+    """Within-bucket candidate pairs with the HOT-BUCKET STAR BOUND —
+    the one blocking self-join shape shared by minhash banding,
+    simhash bit-blocks, and hyperplane-LSH buckets (single
+    implementation per code-review r03: the cap/rep/star logic must
+    not diverge between them).
+
+    Buckets of ≤ ``cap`` rows emit all ordered pairs (id_a < id_b);
+    bigger buckets emit *star* pairs to the bucket's min-id
+    representative (m-1 instead of m(m-1)/2 — identical-content
+    floods stay O(m) while staying connected through the rep).  The
+    bucket-size window and the small-bucket self-join share ONE hash
+    shuffle on the bucket key.  Returns (id_a, id_b) plus
+    (payload_a, payload_b) when ``payload_col`` is given (the rep's
+    payload rides along via the min-struct, no extra join)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*bucket_cols)
+    rep_fields = [id_col] + ([payload_col] if payload_col else [])
+    d = df.withColumn("_n", F.count("*").over(w)).withColumn(
+        "_rep", F.min(F.struct(*rep_fields)).over(w)
+    )
+    small = d.filter(F.col("_n") <= cap).drop("_n", "_rep")
+    a, b = small.alias("a"), small.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in bucket_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    out_cols = [
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    ]
+    big_cols = [
+        F.col(f"_rep.{id_col}").alias("id_a"),
+        F.col(id_col).alias("id_b"),
+    ]
+    if payload_col:
+        out_cols += [
+            F.col(f"a.{payload_col}").alias("payload_a"),
+            F.col(f"b.{payload_col}").alias("payload_b"),
+        ]
+        big_cols += [
+            F.col(f"_rep.{payload_col}").alias("payload_a"),
+            F.col(payload_col).alias("payload_b"),
+        ]
+    small_pairs = a.join(b, cond).select(*out_cols)
+    big_pairs = d.filter(
+        (F.col("_n") > cap) & (F.col(id_col) != F.col(f"_rep.{id_col}"))
+    ).select(*big_cols)
+    return small_pairs.unionByName(big_pairs)
+
+
 # ---- shingles + minhash --------------------------------------------------
 
 N_HASHES = 64
@@ -191,29 +248,9 @@ def minhash_candidates(
             )
         ).alias("e"),
     ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
-    # bucket size + representative via a window: ONE hash shuffle on
-    # (band, bh), whose output partitioning the small-bucket self-join
-    # below reuses (no re-exchange)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band", "bh")
-    bands = bands.withColumn("n_in_bucket", F.count("*").over(w)).withColumn(
-        "rep", F.min("doc_id").over(w)
-    )
-    small = bands.filter(F.col("n_in_bucket") <= max_bucket_docs).drop("n_in_bucket", "rep")
-    a = small.alias("a")
-    b = small.alias("b")
-    small_pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    )
-    big_pairs = (
-        bands.filter((F.col("n_in_bucket") > max_bucket_docs) & (F.col("doc_id") != F.col("rep")))
-        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-    )
     pairs = (
-        small_pairs.unionByName(big_pairs)
+        star_capped_pairs(bands, ["band", "bh"], "doc_id", cap=max_bucket_docs)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("long").alias("n_shared_bands"))
     )
@@ -297,35 +334,15 @@ def simhash_near_dups(
     bands = sh.select(
         "doc_id", "sh", F.explode(F.array(*block_cols)).alias("e")
     ).select("doc_id", "sh", F.col("e.blk").alias("blk"), F.col("e.bits").alias("bits"))
-    # ONE hash shuffle on (blk, bits) for the count + representative;
-    # the small-block self-join below reuses its output partitioning
-    from pyspark.sql import Window
-
-    w_blk = Window.partitionBy("blk", "bits")
-    bands = bands.withColumn("n_in_block", F.count("*").over(w_blk)).withColumn(
-        "rep", F.min(F.struct("doc_id", "sh")).over(w_blk)
-    )
-    small = bands.filter(F.col("n_in_block") <= max_block_docs).drop("n_in_block", "rep")
-    a, b = small.alias("a"), small.alias("b")
-    small_cand = (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.bits") == F.col("b.bits"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+    cand = (
+        star_capped_pairs(bands, ["blk", "bits"], "doc_id", payload_col="sh",
+                          cap=max_block_docs)
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sha"), F.col("b.sh").alias("shb"),
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+            F.col("payload_a").alias("sha"), F.col("payload_b").alias("shb"),
         )
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    big_cand = (
-        bands.filter(
-            (F.col("n_in_block") > max_block_docs)
-            & (F.col("doc_id") != F.col("rep.doc_id"))
-        )
-        .select(
-            F.col("rep.doc_id").alias("doc_a"), F.col("doc_id").alias("doc_b"),
-            F.col("rep.sh").alias("sha"), F.col("sh").alias("shb"),
-        )
-    )
-    cand = small_cand.unionByName(big_cand).dropDuplicates(["doc_a", "doc_b"])
     return (
         cand.withColumn("hamming", F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).cast("int"))
         .filter(F.col("hamming") <= k)
@@ -361,17 +378,20 @@ def ngram_jaccard_pairs(
     formulation shipped ~|doc| strings per candidate pair; it survives
     as :func:`ngram_jaccard_pairs_arrays`, the pytest cross-check)."""
     from pyspark.sql import Window
-    from pyspark.storagelevel import StorageLevel
 
     grams = _gram_sets(docs, text_col, id_col, n)
     # the exploded gram table feeds FIVE plan branches (df agg, prefix
     # ranking, per-doc counts, and both sides of the intersection
     # join); the gram synthesis (split → transform → array_distinct)
     # is the single most expensive expression in the pipeline, so
-    # persist it once — disk-backed, executor-local, ≈ one
-    # token-count-sized table — instead of recomputing it per branch
-    ex = grams.select("doc_id", F.explode("grams").alias("gram")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # materialize it once via an eager localCheckpoint instead of
+    # recomputing it per branch.  localCheckpoint, not .persist():
+    # persisted DataFrames stay pinned in the CacheManager until an
+    # explicit unpersist (one leaked copy per call); checkpointed
+    # blocks are released by the ContextCleaner as soon as the result
+    # DataFrame is garbage collected (code-review r03 finding)
+    ex = grams.select("doc_id", F.explode("grams").alias("gram")).localCheckpoint(
+        eager=True
     )
     dfreq = ex.groupBy("gram").agg(F.count("*").alias("df"))
     w_rank = Window.partitionBy("doc_id").orderBy("df", "gram")
@@ -447,9 +467,10 @@ def connected_components(
     *stars* (diameter 2), so the adversarial mass-duplication case
     converges in 2 rounds.  Per round: one join + one groupBy, both
     keyed on node ids; ``localCheckpoint`` truncates lineage like the
-    PageRank loop.  Deep-chain graphs would want the
-    large-star/small-star logarithmic variant; near-dup graphs aren't
-    that."""
+    PageRank loop.  Raises ``RuntimeError`` rather than returning
+    partial labels if a component's diameter exceeds ``max_iters``
+    (deep-chain graphs would want the large-star/small-star
+    logarithmic variant; near-dup graphs aren't that)."""
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
         edges.unionByName(
@@ -464,6 +485,7 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iters):
         nbr = (
             edges.join(
@@ -484,7 +506,14 @@ def connected_components(
         )
         labels = new.drop("chg")
         if new.filter("chg").isEmpty():
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds — "
+            "a component's diameter exceeds max_iters; raise max_iters "
+            "(labels would be silently wrong otherwise)"
+        )
     return labels
 
 

@@ -346,36 +346,20 @@ def lsh_near_dup_pairs(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     )
     all_planes = [_hyperplanes(dim, n_planes, seed=seed + t) for t in range(n_tables)]
+    from .dedup import star_capped_pairs
+
     buckets = base.withColumn("sigs", _multi_sig_col(F.col("vec"), all_planes)).select(
         "vec_id", "vec", F.posexplode("sigs").alias("table", "sig")
     )
-    w_b = Window.partitionBy("table", "sig")
-    buckets = buckets.withColumn("n_in_bucket", F.count("*").over(w_b)).withColumn(
-        "rep", F.min(F.struct("vec_id", "vec")).over(w_b)
-    )
-    small = buckets.filter(F.col("n_in_bucket") <= max_bucket_docs).drop(
-        "n_in_bucket", "rep"
-    )
-    a, b = small.alias("a"), small.alias("b")
-    small_cand = (
-        a.join(b, (F.col("a.table") == F.col("b.table")) & (F.col("a.sig") == F.col("b.sig"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
+    cand = (
+        star_capped_pairs(buckets, ["table", "sig"], "vec_id", payload_col="vec",
+                          cap=max_bucket_docs)
         .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
-            F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"),
+            F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"),
+            F.col("payload_a").alias("va"), F.col("payload_b").alias("vb"),
         )
+        .dropDuplicates(["vec_a", "vec_b"])
     )
-    big_cand = (
-        buckets.filter(
-            (F.col("n_in_bucket") > max_bucket_docs)
-            & (F.col("vec_id") != F.col("rep.vec_id"))
-        )
-        .select(
-            F.col("rep.vec_id").alias("vec_a"), F.col("vec_id").alias("vec_b"),
-            F.col("rep.vec").alias("va"), F.col("vec").alias("vb"),
-        )
-    )
-    cand = small_cand.unionByName(big_cand).dropDuplicates(["vec_a", "vec_b"])
     return (
         cand.withColumn("cosine", F.round(_cosine(F.col("va"), F.col("vb")), score_round))
         .filter(F.col("cosine") >= threshold)

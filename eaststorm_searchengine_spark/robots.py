@@ -98,9 +98,25 @@ def _java_round_ms(raw: str) -> int:
         return _LONG_MIN if raw.startswith("-") else _LONG_MAX
     if body.lower() in ("inf", "infinity", "nan"):
         return -1  # spellings Java's parseDouble rejects
+    if "_" in body:
+        return -1  # PEP-515 underscores: Python-only, Java rejects
+    # Java's grammar also accepts a trailing f/F/d/D type suffix and
+    # hex-float literals (0x1.8p1); Python float() takes neither
+    num = raw
+    if body[-1:] in "fFdD" and (
+        not body.lower().startswith("0x") or "p" in body.lower()
+    ):
+        num = raw[:-1]
+        body = body[:-1]
     try:
-        s = float(raw)
-    except ValueError:
+        if body.lower().startswith("0x"):
+            # Java requires the binary exponent; float.fromhex doesn't
+            if "p" not in body.lower():
+                return -1
+            s = float.fromhex(num)
+        else:
+            s = float(num)
+    except (ValueError, OverflowError):
         return -1
     x = s * 1000.0
     if x >= _LONG_MAX:

@@ -126,18 +126,20 @@ class TableIO:
 
         Iceberg: a real ``MERGE INTO`` (row-level ops, transactional —
         the path for concurrent readers).  Parquet fallback:
-        copy-on-write — base anti-join updates ∪ updates into a staging
-        dir, then the staged dir is swapped into place ATOMICALLY via
-        Linux ``renameat2(RENAME_EXCHANGE)`` (one syscall; a concurrent
-        reader sees either the old or the new table, never an absent
-        path — ADVICE r02 #4).  On filesystems/kernels without
-        RENAME_EXCHANGE it degrades to the two-rename swap serialized
-        by a per-table lock file (concurrent *upserts* can't interleave;
-        a reader racing the fallback swap can still observe a brief
-        absence — documented limitation of the parquet path; use
-        iceberg for concurrent-reader workloads).  Both paths are one
-        shuffle on the key; at 10^12 rows the Iceberg path additionally
-        prunes untouched files by key range."""
+        copy-on-write under a per-table advisory lock held for the
+        WHOLE read-merge-write-swap (concurrent upserts on the same
+        table serialize; the shared staging dir and the read-your-
+        writes merge both require it): base anti-join updates ∪
+        updates into a staging dir, then the staged dir is swapped
+        into place ATOMICALLY via Linux ``renameat2(RENAME_EXCHANGE)``
+        (one syscall; a concurrent READER sees either the old or the
+        new table, never an absent path — ADVICE r02 #4).  On
+        filesystems/kernels without RENAME_EXCHANGE the swap degrades
+        to two renames (still under the lock); a reader racing that
+        fallback can observe a brief absence — documented limitation;
+        use iceberg for concurrent-reader workloads.  Both paths are
+        one shuffle on the key; at 10^12 rows the Iceberg path
+        additionally prunes untouched files by key range."""
         keys = [key] if isinstance(key, str) else list(key)
         if self.format == "iceberg":
             updates.createOrReplaceTempView("_upsert_src")
@@ -147,26 +149,27 @@ class TableIO:
                 "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
             )
             return
-        base = self.read(name)
-        merged = base.join(updates.select(*keys), keys, "left_anti").unionByName(
-            updates.select(*base.columns)
-        )
         import shutil
 
-        staged = self._path(f"_staging_{name}")
-        trash = self._path(f"_trash_{name}")
-        merged.write.mode("overwrite").parquet(staged)
-        shutil.rmtree(trash, ignore_errors=True)
-        live = self._path(name)
-        if os.path.exists(live) and _atomic_exchange(live, staged):
-            # staged now holds the OLD table; drop it
-            shutil.rmtree(staged, ignore_errors=True)
-            return
+        os.makedirs(self.root, exist_ok=True)
         with _table_lock(self._path(f"_lock_{name}")):
+            base = self.read(name)
+            merged = base.join(updates.select(*keys), keys, "left_anti").unionByName(
+                updates.select(*base.columns)
+            )
+            staged = self._path(f"_staging_{name}")
+            trash = self._path(f"_trash_{name}")
+            merged.write.mode("overwrite").parquet(staged)
+            shutil.rmtree(trash, ignore_errors=True)
+            live = self._path(name)
+            if os.path.exists(live) and _atomic_exchange(live, staged):
+                # staged now holds the OLD table; drop it
+                shutil.rmtree(staged, ignore_errors=True)
+                return
             if os.path.exists(live):
                 os.rename(live, trash)
             os.rename(staged, live)
-        shutil.rmtree(trash, ignore_errors=True)
+            shutil.rmtree(trash, ignore_errors=True)
 
     def drop(self, name: str) -> None:
         """FlameRDD.destroy parity (``flame/FlameRDD.java:50-56``)."""

@@ -208,6 +208,20 @@ def test_connected_components_vs_union_find(spark):
     assert got == want
 
 
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A chain deeper than max_iters must raise, never return partial
+    labels (code-review r03 finding)."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(10)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iters=3)
+    # and with enough rounds the same graph resolves to one component
+    got = {r.comp for r in dedup.connected_components(pairs, max_iters=15).collect()}
+    assert got == {0}
+
+
 def test_near_dup_groups_flood_converges_fast(spark):
     """An identical-docs flood must resolve to ONE group in few rounds
     (the upstream pair generators emit star edges, diameter ≤ 2)."""

@@ -172,6 +172,13 @@ def test_robots_crawl_delay_nonfinite():
     assert mk("nan").delay_ms == -1
     assert mk("1e999").delay_ms == (1 << 63) - 1  # finite-literal overflow
     assert mk("2.5").delay_ms == 2500
+    # Java float-literal suffixes and hex floats (parseDouble accepts)
+    assert mk("1.5f").delay_ms == 1500
+    assert mk("2d").delay_ms == 2000
+    assert mk("0x1.8p1").delay_ms == 3000
+    assert mk("0x1.8p1f").delay_ms == 3000
+    assert mk("0x1.8").delay_ms == -1   # Java requires the p exponent
+    assert mk("1_000").delay_ms == -1   # PEP-515 underscores: Java rejects
 
 
 def test_robots_parse_and_allows():
