@@ -605,6 +605,14 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def q_minhash_groups(spark, sf_dir):
+    """Scale-path grouping: star-bounded MinHash-LSH pairs → connected
+    components (rows-only: blake2b/FNV hashing isn't SQL-expressible;
+    the CC step is oracle-checked via `dedup_groups` and the LSH step
+    via the minhash pytest suite)."""
+    return dedup.minhash_dup_groups(_docs(spark, sf_dir))
+
+
 def q_dedup_groups(spark, sf_dir):
     """Near-dup GROUPS (the dedup pipeline's end product): exact
     n-gram-Jaccard pairs → connected components (hash-min label
@@ -693,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_groups": q_dedup_groups,
+        "minhash_groups": q_minhash_groups,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "lsh_ann": q_lsh_ann,

@@ -541,6 +541,34 @@ def near_dup_groups(
     )
 
 
+def minhash_dup_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_shared_bands: int = 2,
+) -> DataFrame:
+    """The 100-TB-scale grouping path: MinHash-LSH candidate pairs
+    (hot buckets star-bounded → O(m) edges even under
+    identical-document floods) filtered to ``min_shared_bands``
+    agreement, then connected components → (doc_id, group_id, n_docs).
+    Approximate where :func:`near_dup_groups` is exact: recall follows
+    the LSH banding curve; the star bound's rep edges keep flood
+    components connected.  Use this when the corpus is too large for
+    exact Jaccard verification of every candidate."""
+    pairs = minhash_candidates(docs, text_col=text_col, id_col=id_col).filter(
+        F.col("n_shared_bands") >= min_shared_bands
+    )
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("comp").agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        cc.join(sizes, "comp")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("comp").alias("group_id"),
+            "n_docs",
+        )
+        .orderBy("group_id", "doc_id")
+    )
+
+
 def ngram_jaccard_pairs_arrays(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 3, threshold: float = 0.8,

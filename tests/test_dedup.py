@@ -234,6 +234,24 @@ def test_near_dup_groups_flood_converges_fast(spark):
     assert flood == [(i, 0, 300) for i in range(300)]
 
 
+def test_minhash_dup_groups_flood_one_group(spark):
+    """End-to-end scale path: a 1,000-identical-docs flood groups into
+    ONE component through O(m) star edges (diameter 2 → 2 CC rounds),
+    and the distinct docs stay ungrouped singletons (absent)."""
+    import time
+
+    rows = [(i, "flooded identical body of text for the group") for i in range(1000)]
+    rows += [(5000 + i, " ".join(f"u{i}w{j}" for j in range(12))) for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t0 = time.perf_counter()
+    got = dedup.minhash_dup_groups(docs).collect()
+    elapsed = time.perf_counter() - t0
+    flood = [(r.doc_id, r.group_id, r.n_docs) for r in got if r.doc_id < 5000]
+    assert flood == [(i, 0, 1000) for i in range(1000)]
+    assert all(r.doc_id < 5000 for r in got)  # uniques form no pairs
+    assert elapsed < 150, f"flood grouping took {elapsed:.1f}s"
+
+
 def test_ngram_prefix_filtering_complete_t08(spark):
     """t=0.8 with gram counts that make t*n a whole number — the float
     (1-t)*n lands just below the integer and a naive floor would cut

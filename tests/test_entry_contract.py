@@ -77,6 +77,7 @@ _MIN_ROWS = {
     "pagerank_hosts": 10,
     "composite_search": 10,
     "minhash_pairs": 0,
+    "minhash_groups": 0,
     "simhash_buckets": 0,
     "simhash_near_dups": 5,
     "ngram_jaccard": 0,
