@@ -353,6 +353,10 @@ def simhash_near_dups(
 
 # ---- n-gram jaccard --------------------------------------------------------
 
+# at most one persisted exploded-gram table per session (see
+# ngram_jaccard_pairs); bounded leak instead of one per invocation
+_GRAM_CACHE_SLOT: list = []
+
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 3, threshold: float = 0.8,
@@ -378,21 +382,30 @@ def ngram_jaccard_pairs(
     formulation shipped ~|doc| strings per candidate pair; it survives
     as :func:`ngram_jaccard_pairs_arrays`, the pytest cross-check)."""
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
     grams = _gram_sets(docs, text_col, id_col, n)
     # the exploded gram table feeds FIVE plan branches (df agg, prefix
     # ranking, per-doc counts, and both sides of the intersection
     # join); the gram synthesis (split → transform → array_distinct)
     # is the single most expensive expression in the pipeline, so
-    # materialize it once via an eager localCheckpoint instead of
-    # recomputing it per branch.  localCheckpoint, not .persist():
-    # persisted DataFrames stay pinned in the CacheManager until an
-    # explicit unpersist (one leaked copy per call); checkpointed
-    # blocks are released by the ContextCleaner as soon as the result
-    # DataFrame is garbage collected (code-review r03 finding)
-    ex = grams.select("doc_id", F.explode("grams").alias("gram")).localCheckpoint(
-        eager=True
+    # persist it — computed once on first use instead of per branch.
+    # persist, not localCheckpoint: lazy (no job at plan-construction
+    # time) and lineage-backed (an executor loss recomputes instead of
+    # failing the query).  The CacheManager would pin one copy per
+    # call for the session lifetime, so a one-slot registry unpersists
+    # the PREVIOUS call's cache first — safe because persist keeps
+    # lineage, so an old result DataFrame simply recomputes
+    # (code-review r03 + r03b findings)
+    while _GRAM_CACHE_SLOT:
+        try:
+            _GRAM_CACHE_SLOT.pop().unpersist()
+        except Exception:
+            pass
+    ex = grams.select("doc_id", F.explode("grams").alias("gram")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    _GRAM_CACHE_SLOT.append(ex)
     dfreq = ex.groupBy("gram").agg(F.count("*").alias("df"))
     w_rank = Window.partitionBy("doc_id").orderBy("df", "gram")
     w_doc = Window.partitionBy("doc_id")
@@ -486,7 +499,10 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     converged = False
-    for _ in range(max_iters):
+    # max_iters + 1: detecting convergence costs one extra no-change
+    # round, so a diameter-== max_iters graph needs max_iters
+    # productive rounds plus the confirming one (code-review r03b)
+    for _ in range(max_iters + 1):
         nbr = (
             edges.join(
                 labels.select(F.col("node").alias("dst"), F.col("comp").alias("nbr_comp")),
@@ -517,6 +533,22 @@ def connected_components(
     return labels
 
 
+def _groups_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Shared tail of every grouping pipeline: pairs → connected
+    components → (doc_id, group_id, n_docs), group_id = min doc_id."""
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("comp").agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        cc.join(sizes, "comp")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("comp").alias("group_id"),
+            "n_docs",
+        )
+        .orderBy("group_id", "doc_id")
+    )
+
+
 def near_dup_groups(
     docs: DataFrame, threshold: float = 0.5,
     text_col: str = "text", id_col: str = "doc_id", n: int = 3,
@@ -528,45 +560,31 @@ def near_dup_groups(
     group; a keep-one policy is ``filter(doc_id == group_id)``."""
     pairs = ngram_jaccard_pairs(docs, text_col=text_col, id_col=id_col,
                                 n=n, threshold=threshold)
-    cc = connected_components(pairs)
-    sizes = cc.groupBy("comp").agg(F.count("*").cast("long").alias("n_docs"))
-    return (
-        cc.join(sizes, "comp")
-        .select(
-            F.col("node").alias("doc_id"),
-            F.col("comp").alias("group_id"),
-            "n_docs",
-        )
-        .orderBy("group_id", "doc_id")
-    )
+    return _groups_from_pairs(pairs)
 
 
 def minhash_dup_groups(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    min_shared_bands: int = 2,
+    min_shared_bands: int = 1,
 ) -> DataFrame:
     """The 100-TB-scale grouping path: MinHash-LSH candidate pairs
     (hot buckets star-bounded → O(m) edges even under
-    identical-document floods) filtered to ``min_shared_bands``
-    agreement, then connected components → (doc_id, group_id, n_docs).
-    Approximate where :func:`near_dup_groups` is exact: recall follows
-    the LSH banding curve; the star bound's rep edges keep flood
-    components connected.  Use this when the corpus is too large for
-    exact Jaccard verification of every candidate."""
+    identical-document floods) → connected components → (doc_id,
+    group_id, n_docs).  Approximate where :func:`near_dup_groups` is
+    exact: recall follows the LSH banding curve.
+
+    ``min_shared_bands`` defaults to 1 — ANY band collision is a
+    candidate edge, the standard LSH criterion.  Raising it trades
+    precision against the documented lower-bound semantics of
+    ``n_shared_bands`` for pairs routed through over-cap buckets
+    (star pairs count collisions with the representative only, so a
+    threshold > 1 can drop genuinely-similar over-cap pairs —
+    code-review r03b); re-verify with an exact measure instead if
+    precision matters."""
     pairs = minhash_candidates(docs, text_col=text_col, id_col=id_col).filter(
         F.col("n_shared_bands") >= min_shared_bands
     )
-    cc = connected_components(pairs)
-    sizes = cc.groupBy("comp").agg(F.count("*").cast("long").alias("n_docs"))
-    return (
-        cc.join(sizes, "comp")
-        .select(
-            F.col("node").alias("doc_id"),
-            F.col("comp").alias("group_id"),
-            "n_docs",
-        )
-        .orderBy("group_id", "doc_id")
-    )
+    return _groups_from_pairs(pairs)
 
 
 def ngram_jaccard_pairs_arrays(

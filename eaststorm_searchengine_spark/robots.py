@@ -101,23 +101,37 @@ def _java_round_ms(raw: str) -> int:
     if "_" in body:
         return -1  # PEP-515 underscores: Python-only, Java rejects
     # Java's grammar also accepts a trailing f/F/d/D type suffix and
-    # hex-float literals (0x1.8p1); Python float() takes neither
+    # hex-float literals (0x1.8p1) — but ONLY on the numeric
+    # production: 'NaNd' / 'Infinityf' are rejected by parseDouble
     num = raw
     if body[-1:] in "fFdD" and (
         not body.lower().startswith("0x") or "p" in body.lower()
     ):
         num = raw[:-1]
         body = body[:-1]
+        # a special spelling left behind after stripping means the
+        # original was a suffixed NaN/Infinity — Java rejects those
+        # (and float('NaN') here would leak a nan into Math.round)
+        if body.lower() in ("nan", "infinity", "inf") or not body:
+            return -1
     try:
         if body.lower().startswith("0x"):
             # Java requires the binary exponent; float.fromhex doesn't
             if "p" not in body.lower():
                 return -1
-            s = float.fromhex(num)
+            try:
+                s = float.fromhex(num)
+            except OverflowError:
+                # parseDouble overflows hex literals to ±Infinity;
+                # fromhex raises instead (the decimal path's float()
+                # already returns inf for e.g. 1e999)
+                s = float("-inf") if raw.lstrip().startswith("-") else float("inf")
         else:
             s = float(num)
     except (ValueError, OverflowError):
         return -1
+    if math.isnan(s):
+        return -1  # defensive: only Java-rejected spellings reach here as nan
     x = s * 1000.0
     if x >= _LONG_MAX:
         return _LONG_MAX

@@ -217,8 +217,9 @@ def test_connected_components_raises_on_nonconvergence(spark):
     pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(pairs, max_iters=3)
-    # and with enough rounds the same graph resolves to one component
-    got = {r.comp for r in dedup.connected_components(pairs, max_iters=15).collect()}
+    # diameter == max_iters exactly must SUCCEED (the convergence check
+    # costs one extra confirming round, not one propagation round)
+    got = {r.comp for r in dedup.connected_components(pairs, max_iters=10).collect()}
     assert got == {0}
 
 

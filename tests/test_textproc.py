@@ -179,6 +179,16 @@ def test_robots_crawl_delay_nonfinite():
     assert mk("0x1.8p1f").delay_ms == 3000
     assert mk("0x1.8").delay_ms == -1   # Java requires the p exponent
     assert mk("1_000").delay_ms == -1   # PEP-515 underscores: Java rejects
+    # suffixed special spellings: Java's suffix applies only to the
+    # numeric production — parseDouble rejects these (and they must
+    # not crash the parser)
+    assert mk("NaNd").delay_ms == -1
+    assert mk("NaNf").delay_ms == -1
+    assert mk("Infinityd").delay_ms == -1
+    assert mk("infd").delay_ms == -1
+    # hex-literal overflow behaves like the decimal path: → Infinity
+    assert mk("0x1p2000").delay_ms == (1 << 63) - 1
+    assert mk("-0x1p2000").delay_ms == -1  # max(-1, LONG_MIN)
 
 
 def test_robots_parse_and_allows():
