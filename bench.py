@@ -145,6 +145,8 @@ def main() -> None:
     timed("simhash_buckets", lambda: dedup.simhash_buckets(docs).count())
     timed("simhash_near_dups", lambda: dedup.simhash_near_dups(docs).count())
     timed("ngram_jaccard", lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.5).count(), repeats=2)
+    timed("dedup_groups", lambda: dedup.near_dup_groups(docs, threshold=0.5).count(), repeats=2)
+    timed("minhash_groups", lambda: dedup.minhash_dup_groups(docs).count(), repeats=2)
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     qvecs = [
         (int(r["vec_id"]), list(r["embedding"]))
