@@ -465,7 +465,7 @@ def _gram_sets(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame
 
 def connected_components(
     pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
-    max_iters: int = 25,
+    max_iters: int = 25, driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(node, component) over the near-dup pair graph — the union-find
     step every candidate-pair generator feeds (component id = min node
@@ -483,15 +483,45 @@ def connected_components(
     PageRank loop.  Raises ``RuntimeError`` rather than returning
     partial labels if a component's diameter exceeds ``max_iters``
     (deep-chain graphs would want the large-star/small-star
-    logarithmic variant; near-dup graphs aren't that)."""
-    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    logarithmic variant; near-dup graphs aren't that).
+
+    Size gate: edge sets of at most ``driver_threshold`` rows resolve
+    DRIVER-SIDE with union-find (exact, one collect, no per-round job
+    overhead — the same small-side escape hatch as TakeOrdered / the
+    crawl frontier broadcast; the edge list was already bounded by the
+    pair generators).  Bigger graphs take the distributed loop.  The
+    edge count comes free off the eager checkpoint."""
+    # materialize the DIRECTED pairs first: the symmetrizing union
+    # references its input twice, and without this checkpoint the
+    # (expensive) upstream pair pipeline would execute once per branch
+    directed = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).localCheckpoint(eager=True)
     edges = (
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        directed.unionByName(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_directed = edges.count()
+    if n_directed <= 2 * driver_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edges.collect():
+            ra, rb = find(int(r["src"])), find(int(r["dst"]))
+            if ra != rb:
+                # min-root union: the root IS the component min id
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(n, find(n)) for n in sorted(parent)]
+        return pairs.sparkSession.createDataFrame(rows, "node long, comp long")
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -190,6 +190,13 @@ def test_connected_components_vs_union_find(spark):
              (30, 31)]
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = sorted((r.node, r.comp) for r in dedup.connected_components(pairs).collect())
+    # the distributed label-propagation path must agree with the
+    # driver-side union-find path (size gate is strategy-only)
+    got_dist = sorted(
+        (r.node, r.comp)
+        for r in dedup.connected_components(pairs, driver_threshold=0).collect()
+    )
+    assert got == got_dist
 
     parent = {}
     def find(x):
@@ -216,10 +223,15 @@ def test_connected_components_raises_on_nonconvergence(spark):
     chain = [(i, i + 1) for i in range(10)]
     pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, max_iters=3)
+        dedup.connected_components(pairs, max_iters=3, driver_threshold=0)
     # diameter == max_iters exactly must SUCCEED (the convergence check
     # costs one extra confirming round, not one propagation round)
-    got = {r.comp for r in dedup.connected_components(pairs, max_iters=10).collect()}
+    got = {
+        r.comp
+        for r in dedup.connected_components(
+            pairs, max_iters=10, driver_threshold=0
+        ).collect()
+    }
     assert got == {0}
 
 
