@@ -68,27 +68,27 @@ def test_oracle_match(spark, ddb, name):
 
 # expected minimum row counts for the rows-only queries at sf0.01
 _MIN_ROWS = {
-    "phrase_search": 1,
-    "body_index": 10,
-    "title_index": 5,
-    "url_index": 5,
-    "anchor_index": 5,
-    "imagealt_index": 2,
     "pagerank_hosts": 10,
     "composite_search": 10,
-    "minhash_pairs": 0,
     "minhash_groups": 0,
-    "simhash_buckets": 0,
     "simhash_near_dups": 5,
-    "ngram_jaccard": 0,
-    "lang_id": 500,
     "fingerprints": 500,
-    "lsh_ann": 1,
-    "ivf_ann": 1,
-    "crawl_frontier": 2,
-    "title_coverage": 1,
+    "ann_approx": 2,
     "media_features": 500,
 }
+
+
+def test_registry_fits_driver_window():
+    """The driver verifies only the first 50 registry entries (r3 ran
+    50/56 with exactly the last six missing) — every entry must sit
+    inside the window, oracle-bearing ones first."""
+    keys = list(E.queries().keys())
+    assert len(keys) <= 50, f"{len(keys)} entries > driver's 50-entry window"
+    oracled = set(E.oracle_sql().keys())
+    first_rows_only = next((i for i, k in enumerate(keys) if k not in oracled), len(keys))
+    assert all(k not in oracled for k in keys[first_rows_only:]), (
+        "oracle-bearing entries must precede all rows-only entries"
+    )
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
