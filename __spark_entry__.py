@@ -646,10 +646,22 @@ def q_ann_approx(spark, sf_dir):
     lsh = similarity.lsh_cosine_topk(emb, qvecs, k=ANN_K).withColumn(
         "method", F.lit("lsh")
     )
-    ivf = similarity.ivf_cosine_topk(emb, qvecs, k=ANN_K).withColumn(
+    ivf = _ivf_for(sf_dir, emb).topk(qvecs, k=ANN_K).withColumn(
         "method", F.lit("ivf")
     )
     return lsh.unionByName(ivf).select("method", "query_id", "rank", "vec_id", "cosine")
+
+
+_IVF_CACHE: dict[str, similarity.IVFIndex] = {}
+
+
+def _ivf_for(sf_dir: str, emb: DataFrame) -> similarity.IVFIndex:
+    """Build-once cache of the IVF index per scale factor (VERDICT r03
+    #2 — the fit+assignment chain runs once per session, repeat queries
+    pay only the probe join)."""
+    if sf_dir not in _IVF_CACHE:
+        _IVF_CACHE[sf_dir] = similarity.IVFIndex(emb)
+    return _IVF_CACHE[sf_dir]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

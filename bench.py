@@ -169,10 +169,22 @@ def main() -> None:
     lsh_recall = len({(r.query_id, r.vec_id) for r in approx_rows} & exact_top) / max(
         len(exact_top), 1
     )
+    # IVF is a build-once/query-many index (similarity.IVFIndex):
+    # time the fit+assignment chain as ivf_build, the probe-join as
+    # ivf_ann (r3 timed the whole chain per query — VERDICT r03 #2)
+    ivf_holder: dict = {}
+
+    def ivf_build():
+        if "idx" in ivf_holder:
+            ivf_holder["idx"].unpersist()
+        ivf_holder["idx"] = similarity.IVFIndex(emb)
+
+    timed("ivf_build", ivf_build, repeats=2)
     ivf_rows = timed(
         "ivf_ann",
-        lambda: similarity.ivf_cosine_topk(emb, qvecs, k=10).collect(),
+        lambda: ivf_holder["idx"].topk(qvecs, k=10).collect(),
     )
+    ivf_holder["idx"].unpersist()
     ivf_recall = len({(r.query_id, r.vec_id) for r in ivf_rows} & exact_top) / max(
         len(exact_top), 1
     )

@@ -64,9 +64,12 @@ class BM25Index:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.paths = IndexPaths(root)
+        self._load()
+
+    def _load(self) -> None:
         from ..sources import fsio
 
-        self.stats = json.loads(fsio.read_text(spark, self.paths.stats))
+        self.stats = json.loads(fsio.read_text(self.spark, self.paths.stats))
         self.n_docs = int(self.stats["n_docs"])
         self.avgdl = float(self.stats["avgdl"])
         self.n_buckets = int(self.stats["n_buckets"])
@@ -75,8 +78,31 @@ class BM25Index:
         # (directory listing + schema) is built once per index handle,
         # not once per query — the serving-path latency win any
         # long-running query server gets for free
-        self._segs_df = spark.read.parquet(self.paths.segments)
-        self._stats_df = spark.read.parquet(self.paths.term_stats)
+        self._segs_df = self.spark.read.parquet(self.paths.segments)
+        self._stats_df = self.spark.read.parquet(self.paths.term_stats)
+        self._stats_mtime = self._current_mtime()
+
+    def _current_mtime(self) -> float | None:
+        try:
+            return os.path.getmtime(self.paths.stats)
+        except OSError:
+            return None  # non-posix / remote FS: rebuild detection off
+
+    def _refresh_if_rebuilt(self) -> None:
+        """Rebuild detection (ADVICE r03 #3): stats.json is written
+        LAST by the builder, so its mtime changing under a live handle
+        means the index directory was rebuilt — the cached file index
+        would read stale or deleted segment files.  One os.stat per
+        search; on change, invalidate Spark's file-index caches and
+        re-read the handle state."""
+        m = self._current_mtime()
+        if m is not None and self._stats_mtime is not None and m != self._stats_mtime:
+            for p in (self.paths.segments, self.paths.term_stats, self.paths.doclens):
+                try:
+                    self.spark.catalog.refreshByPath(p)
+                except Exception:
+                    pass
+            self._load()
 
     def _analyze(self, q: str) -> list[str]:
         """Query analyzer == index analyzer: the shared sqltok
@@ -124,6 +150,7 @@ class BM25Index:
         orderBy+limit — collapsing the query to ONE job; identical
         results (pytest-gated), ~2× lower single-query latency since
         the second job's scheduling round-trip disappears."""
+        self._refresh_if_rebuilt()
         qterms: dict[int, list[str]] = {
             qid: sorted(set(self._analyze(q))) for qid, q in queries
         }
@@ -190,6 +217,7 @@ class BM25Index:
         position lists only for documents that contain all terms.
         Same distribution model as ``search``.
         """
+        self._refresh_if_rebuilt()
         pterms: dict[int, list[str]] = {
             qid: self._analyze(p) for qid, p in phrases
         }
@@ -312,6 +340,13 @@ class BM25Index:
                 return self.spark.createDataFrame(
                     [], "query_id int, rank long, doc_id long, score double"
                 )
+            # the VALUES text below renders scores via repr(): NaN/inf
+            # would neither parse as SQL nor sort correctly above —
+            # unreachable with BM25 math, but fail loudly if a future
+            # scorer produces one (ADVICE r03 #5)
+            assert all(math.isfinite(s) for _, _, _, s in out), (
+                "non-finite score in driver-side rank merge"
+            )
             # inline VALUES → Catalyst LocalRelation: the caller's
             # collect() is served from the driver, NO job — a
             # parallelize here would fan the ≤ queries×k rows into

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import threading
 
 import numpy as np
 import pandas as pd
@@ -74,6 +75,7 @@ def star_capped_pairs(
     id_col: str,
     payload_col: str | None = None,
     cap: int = 256,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Within-bucket candidate pairs with the HOT-BUCKET STAR BOUND —
     the one blocking self-join shape shared by minhash banding,
@@ -88,9 +90,23 @@ def star_capped_pairs(
     bucket-size window and the small-bucket self-join share ONE hash
     shuffle on the bucket key.  Returns (id_a, id_b) plus
     (payload_a, payload_b) when ``payload_col`` is given (the rep's
-    payload rides along via the min-struct, no extra join)."""
+    payload rides along via the min-struct, no extra join).
+
+    SILENT-CAP NOTE (ADVICE r03 #2): in over-cap buckets, non-rep
+    pairs are reachable only through the representative, so pair-level
+    recall degrades on skewed corpora for callers that consume PAIRS
+    rather than connected components (the grouping pipelines are
+    unaffected — star edges keep every bucket connected).  Pass
+    ``metrics={}`` to have ``metrics["overcap_buckets"]`` filled with
+    the number of buckets where capping actually engaged (one extra
+    small count job, off by default); a nonzero value means the pair
+    output is star-bounded, not complete."""
     from pyspark.sql import Window
 
+    if metrics is not None:
+        metrics["overcap_buckets"] = (
+            df.groupBy(*bucket_cols).count().filter(F.col("count") > cap).count()
+        )
     w = Window.partitionBy(*bucket_cols)
     rep_fields = [id_col] + ([payload_col] if payload_col else [])
     d = df.withColumn("_n", F.count("*").over(w)).withColumn(
@@ -210,6 +226,7 @@ def minhash_udf(text: pd.Series) -> pd.Series:
 def minhash_candidates(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_bands: int = N_BANDS, max_bucket_docs: int = 256,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of their MinHash signature →
     candidate pairs (doc_a < doc_b, n_shared_bands).  The groupBy key is
@@ -231,7 +248,9 @@ def minhash_candidates(
     non-rep/non-rep pairs of such buckets are represented transitively
     via the rep, not emitted).  Consumers using ``n_shared_bands`` as a
     similarity *weight* rather than connectivity evidence should
-    re-verify with an exact measure (e.g. :func:`ngram_jaccard_pairs`)."""
+    re-verify with an exact measure (e.g. :func:`ngram_jaccard_pairs`).
+    Pass ``metrics={}`` to learn whether capping engaged
+    (``metrics["overcap_buckets"]`` — see :func:`star_capped_pairs`)."""
     rows_per_band = N_HASHES // n_bands
     sigs = docs.select(
         F.col(id_col).alias("doc_id"), minhash_udf(F.col(text_col)).alias("sig")
@@ -249,7 +268,8 @@ def minhash_candidates(
         ).alias("e"),
     ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
     pairs = (
-        star_capped_pairs(bands, ["band", "bh"], "doc_id", cap=max_bucket_docs)
+        star_capped_pairs(bands, ["band", "bh"], "doc_id", cap=max_bucket_docs,
+                          metrics=metrics)
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("long").alias("n_shared_bands"))
@@ -297,6 +317,7 @@ def simhash_near_dups(
     docs: DataFrame, max_hamming: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
     max_block_docs: int = 256,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs (hamming(a, b) ≤ max_hamming) via
     Manku-Jain-Sarma bit-block blocking (WWW'07 "Detecting
@@ -320,7 +341,9 @@ def simhash_near_dups(
     flood case), while unequal-fingerprint pairs inside an over-cap
     block are connected transitively via the rep when both verify
     against it — the connected components downstream dedup consumes
-    survive; individual far-from-rep edges may not."""
+    survive; individual far-from-rep edges may not.  Pass
+    ``metrics={}`` to learn whether capping engaged
+    (``metrics["overcap_buckets"]`` — see :func:`star_capped_pairs`)."""
     k = max_hamming
     n_blocks = k + 1
     width = 64 // n_blocks
@@ -336,7 +359,7 @@ def simhash_near_dups(
     ).select("doc_id", "sh", F.col("e.blk").alias("blk"), F.col("e.bits").alias("bits"))
     cand = (
         star_capped_pairs(bands, ["blk", "bits"], "doc_id", payload_col="sh",
-                          cap=max_block_docs)
+                          cap=max_block_docs, metrics=metrics)
         .select(
             F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
             F.col("payload_a").alias("sha"), F.col("payload_b").alias("shb"),
@@ -354,12 +377,19 @@ def simhash_near_dups(
 # ---- n-gram jaccard --------------------------------------------------------
 
 # at most one persisted exploded-gram table per session (see
-# ngram_jaccard_pairs); bounded leak instead of one per invocation
+# ngram_jaccard_pairs); bounded leak instead of one per invocation.
+# The lock guards the slot swap against concurrent callers (ADVICE
+# r03 #4): without it, two multithreaded-driver calls could corrupt
+# the list or double-unpersist.  A call CAN still unpersist the
+# previous call's in-flight cache — results stay correct (persist
+# keeps lineage; the old plan recomputes), only the caching degrades;
+# callers needing isolation pass ``stage_dir`` instead.
 _GRAM_CACHE_SLOT: list = []
+_GRAM_CACHE_LOCK = threading.Lock()
 
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    n: int = 3, threshold: float = 0.8,
+    n: int = 3, threshold: float = 0.8, stage_dir: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs (doc_a < doc_b, J ≥ threshold) via
     *prefix filtering* (Chaudhuri et al. ICDE'06 / Bayardo et al.
@@ -380,7 +410,16 @@ def ngram_jaccard_pairs(
     |A∪B| = |A| + |B| − |A∩B| from per-doc gram counts, so no row ever
     carries a whole document's gram array through a shuffle (the array
     formulation shipped ~|doc| strings per candidate pair; it survives
-    as :func:`ngram_jaccard_pairs_arrays`, the pytest cross-check)."""
+    as :func:`ngram_jaccard_pairs_arrays`, the pytest cross-check).
+
+    100-TB contract (VERDICT r03 #3): the exploded gram table is ~an
+    order of magnitude larger than the corpus, so the default
+    cluster-cache persist is only the *ad-hoc* path.  For
+    grouping-scale runs pass ``stage_dir``: the exploded grams are
+    written ONCE to parquet (the index builder's staging pattern,
+    index_build.py) and every plan branch scans the staged files —
+    bounded by disk instead of occupying the cluster cache, resumable,
+    and with column pruning/pushdown on each branch."""
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
@@ -389,23 +428,30 @@ def ngram_jaccard_pairs(
     # ranking, per-doc counts, and both sides of the intersection
     # join); the gram synthesis (split → transform → array_distinct)
     # is the single most expensive expression in the pipeline, so
-    # persist it — computed once on first use instead of per branch.
-    # persist, not localCheckpoint: lazy (no job at plan-construction
-    # time) and lineage-backed (an executor loss recomputes instead of
-    # failing the query).  The CacheManager would pin one copy per
-    # call for the session lifetime, so a one-slot registry unpersists
-    # the PREVIOUS call's cache first — safe because persist keeps
-    # lineage, so an old result DataFrame simply recomputes
-    # (code-review r03 + r03b findings)
-    while _GRAM_CACHE_SLOT:
-        try:
-            _GRAM_CACHE_SLOT.pop().unpersist()
-        except Exception:
-            pass
-    ex = grams.select("doc_id", F.explode("grams").alias("gram")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    _GRAM_CACHE_SLOT.append(ex)
+    # compute it once — staged to parquet when stage_dir is given,
+    # else persisted.  persist, not localCheckpoint: lazy (no job at
+    # plan-construction time) and lineage-backed (an executor loss
+    # recomputes instead of failing the query).  The CacheManager
+    # would pin one copy per call for the session lifetime, so a
+    # one-slot registry unpersists the PREVIOUS call's cache first —
+    # safe because persist keeps lineage, so an old result DataFrame
+    # simply recomputes (code-review r03 + r03b findings)
+    if stage_dir is not None:
+        grams.select("doc_id", F.explode("grams").alias("gram")).write.mode(
+            "overwrite"
+        ).parquet(stage_dir)
+        ex = docs.sparkSession.read.parquet(stage_dir)
+    else:
+        with _GRAM_CACHE_LOCK:
+            while _GRAM_CACHE_SLOT:
+                try:
+                    _GRAM_CACHE_SLOT.pop().unpersist()
+                except Exception:
+                    pass
+            ex = grams.select("doc_id", F.explode("grams").alias("gram")).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            _GRAM_CACHE_SLOT.append(ex)
     dfreq = ex.groupBy("gram").agg(F.count("*").alias("df"))
     w_rank = Window.partitionBy("doc_id").orderBy("df", "gram")
     w_doc = Window.partitionBy("doc_id")
@@ -582,14 +628,19 @@ def _groups_from_pairs(pairs: DataFrame) -> DataFrame:
 def near_dup_groups(
     docs: DataFrame, threshold: float = 0.5,
     text_col: str = "text", id_col: str = "doc_id", n: int = 3,
+    stage_dir: str | None = None,
 ) -> DataFrame:
     """The end product of the dedup pipeline: (doc_id, group_id,
     n_docs) for every document in a near-duplicate group — exact
     n-gram-Jaccard pairs (complete prefix filtering) → connected
     components → group sizes.  ``group_id`` is the min doc_id of the
-    group; a keep-one policy is ``filter(doc_id == group_id)``."""
+    group; a keep-one policy is ``filter(doc_id == group_id)``.
+
+    ``stage_dir`` (the grouping-scale path): stage the exploded gram
+    table to parquet instead of the cluster cache — see
+    :func:`ngram_jaccard_pairs`."""
     pairs = ngram_jaccard_pairs(docs, text_col=text_col, id_col=id_col,
-                                n=n, threshold=threshold)
+                                n=n, threshold=threshold, stage_dir=stage_dir)
     return _groups_from_pairs(pairs)
 
 

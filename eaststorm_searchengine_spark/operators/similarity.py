@@ -317,6 +317,7 @@ def lsh_near_dup_pairs(
     n_tables: int = 8,
     seed: int = 7,
     max_bucket_docs: int = 256,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs for *high* cosine thresholds via
     OR-amplified hyperplane LSH: ``n_tables`` independent tables of
@@ -334,7 +335,9 @@ def lsh_near_dup_pairs(
     emit *star* candidates to the bucket's min-id representative (m-1
     pairs, cosine-verified like every candidate) — identical/near-rep
     vectors stay connected through the rep; same mitigation as
-    ``dedup.minhash_candidates`` / ``dedup.simhash_near_dups``."""
+    ``dedup.minhash_candidates`` / ``dedup.simhash_near_dups``.  Pass
+    ``metrics={}`` to learn whether capping engaged
+    (``metrics["overcap_buckets"]`` — see ``dedup.star_capped_pairs``)."""
     first = embeddings.select(vec_col).first()
     if first is None:  # empty corpus → no pairs
         return embeddings.sparkSession.createDataFrame(
@@ -353,7 +356,7 @@ def lsh_near_dup_pairs(
     )
     cand = (
         star_capped_pairs(buckets, ["table", "sig"], "vec_id", payload_col="vec",
-                          cap=max_bucket_docs)
+                          cap=max_bucket_docs, metrics=metrics)
         .select(
             F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"),
             F.col("payload_a").alias("va"), F.col("payload_b").alias("vb"),
@@ -422,6 +425,168 @@ def _kmeans_once(X: np.ndarray, k: int, seed: int, n_iter: int) -> np.ndarray:
     return centers
 
 
+class IVFIndex:
+    """IVF-style ANN index handle: a k-means coarse quantizer (on
+    L2-normalized vectors so Euclidean clustering ≈ cosine) partitions
+    the corpus into inverted lists; each query exactly rescans only
+    the ``n_probe`` lists whose centroids score best under the SAME
+    affinity the assignment uses.  Scan fraction ≈ probed list mass;
+    recall measured against the exact oracle (BASELINE.md).  At 10^12
+    rows the lists become the partition key — write the assignment
+    out partitioned by list_id and probing becomes partition pruning.
+    List count should grow ≈ √N with the corpus (the classic IVF
+    sizing); the defaults (128 lists, 64 probes ⇒ ~50% mass) are
+    tuned for the bench corpus, where finer quantization at the same
+    probed mass measurably lifts recall (grid in BASELINE.md).
+
+    Sample-fit contract (VERDICT r02 #3): the quantizer is fit on a
+    deterministic hash-sample of at most ``fit_sample_cap`` vectors —
+    centroid quality at k≈32 saturates far below 100k points, and a
+    full-corpus fit would make multiple passes over 100 TB just to
+    place the centroids.  The bounded sample is collected and fit
+    driver-side (seeded numpy Lloyd's with k-means++ init — one BLAS
+    matmul per iteration, no per-iteration distributed jobs), then
+    the centroids broadcast and the full corpus assigned in ONE
+    Arrow-batched matmul pass.
+
+    Build-once/query-many contract (VERDICT r03 #2): construction
+    runs the count + sample-collect + fit chain ONCE and persists the
+    assignment DataFrame (MEMORY_AND_DISK, lineage-backed), so each
+    :meth:`topk` call is a single probe-join job instead of re-running
+    the whole chain.  Call :meth:`unpersist` when done; at 100-TB
+    scale replace the persist with a parquet stage partitioned by
+    list_id (the index builder's staging pattern)."""
+
+    def __init__(
+        self,
+        embeddings: DataFrame,
+        n_centroids: int = 128,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        seed: int = 42,
+        fit_sample_cap: int = 100_000,
+        materialize: bool = True,
+    ) -> None:
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import IntegerType
+        from pyspark.storagelevel import StorageLevel
+
+        self.spark = embeddings.sparkSession
+        norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, v: a + v * v))
+        base = (
+            embeddings.select(
+                F.col(id_col).alias("vec_id"),
+                F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+            )
+            # norm computed ONCE per row (inside the transform lambda it
+            # would re-aggregate per element); zero vectors stay
+            # unnormalized rather than becoming NaN features that
+            # poison the fit
+            .withColumn("nrm", norm(F.col("vec")))
+            .withColumn(
+                "unit",
+                F.when(
+                    F.col("nrm") > 0,
+                    F.transform(F.col("vec"), lambda x: x / F.col("nrm")),
+                ).otherwise(F.col("vec")),
+            )
+            .drop("nrm")
+        )
+        n_vecs = embeddings.count()
+        if n_vecs > fit_sample_cap:
+            # deterministic hash-sample (id-keyed, reproducible across
+            # sessions/partitionings — unlike .sample or .limit)
+            denom = -(-n_vecs // fit_sample_cap)  # ceil
+            fit_df = base.filter(
+                F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(denom)) == 0
+            )
+        else:
+            fit_df = base
+        sample = np.array(
+            [r["unit"] for r in fit_df.select("unit").collect()], dtype=np.float64
+        )
+        self.empty = sample.size == 0
+        if self.empty:  # empty corpus → no results from any query
+            self.lists = None
+            self._persisted = False
+            return
+        centers = _kmeans_fit(sample, n_centroids, seed)
+        self.centers = centers
+        self.cnorm = np.linalg.norm(centers, axis=1)
+        # assignment: argmin ||x - c||² == argmax (x·c − |c|²/2); one
+        # BLAS product per Arrow batch, centroids in the UDF closure
+        half_sq = (self.cnorm ** 2) / 2.0
+
+        @pandas_udf(IntegerType())
+        def assign(units: pd.Series) -> pd.Series:
+            if units.empty:
+                return pd.Series([], dtype="int32")
+            M = np.vstack(units.to_numpy())
+            lid = np.argmax(M @ centers.T - half_sq[None, :], axis=1)
+            return pd.Series(lid.astype(np.int32))
+
+        self.lists = base.select(
+            "vec_id", "vec", assign(F.col("unit")).alias("list_id")
+        )
+        self._persisted = materialize
+        if materialize:
+            # persist + force the one assignment pass at build time;
+            # the one-shot wrapper skips this (no orphaned CacheManager
+            # entry per call — the dedup gram-cache lesson)
+            self.lists = self.lists.persist(StorageLevel.MEMORY_AND_DISK)
+            self.lists.count()
+
+    def unpersist(self) -> None:
+        if self.lists is not None and self._persisted:
+            self.lists.unpersist()
+            self._persisted = False
+
+    def topk(
+        self,
+        query_vectors: list[tuple[int, list[float]]],
+        k: int = 10,
+        n_probe: int = 64,
+        score_round: int = 6,
+    ) -> DataFrame:
+        """(query_id, rank, vec_id, cosine) over the ``n_probe`` best
+        lists per query — one probe-join job against the persisted
+        assignment."""
+        if self.empty:
+            return self.spark.createDataFrame(
+                [], "query_id int, rank long, vec_id long, cosine double"
+            )
+        qrows = []
+        for qid, v in query_vectors:
+            arr = np.asarray(v, dtype=np.float64)
+            nrm = np.linalg.norm(arr)
+            qu = arr / nrm if nrm > 0 else arr
+            # probe by the SAME affinity the assignment uses
+            # (unit-vector Euclidean: qu·c − |c|²/2) — ranking lists by
+            # raw cosine here would probe a different neighborhood than
+            # the one the quantizer filed the vectors under
+            aff = qu @ self.centers.T - (self.cnorm ** 2) / 2.0
+            for lid in np.argsort(-aff)[:n_probe]:
+                qrows.append((qid, [float(x) for x in v], int(lid)))
+        qdf = F.broadcast(
+            self.spark.createDataFrame(
+                qrows, "query_id int, qvec array<double>, list_id int"
+            )
+        )
+        scored = self.lists.join(qdf, "list_id").select(
+            "query_id",
+            "vec_id",
+            F.round(_cosine(F.col("vec"), F.col("qvec")), score_round).alias("cosine"),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+        return (
+            scored.filter(F.col("cosine").isNotNull())
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "cosine")
+            .orderBy("query_id", "rank")
+        )
+
+
 def ivf_cosine_topk(
     embeddings: DataFrame,
     query_vectors: list[tuple[int, list[float]]],
@@ -434,111 +599,19 @@ def ivf_cosine_topk(
     seed: int = 42,
     fit_sample_cap: int = 100_000,
 ) -> DataFrame:
-    """IVF-style ANN: a k-means coarse quantizer (on L2-normalized
-    vectors so Euclidean clustering ≈ cosine) partitions the corpus
-    into inverted lists; each query exactly rescans only the
-    ``n_probe`` lists whose centroids score best under the SAME
-    affinity the assignment uses.  Scan fraction ≈ probed list mass;
-    recall measured against the exact oracle (BASELINE.md).  At 10^12
-    rows the lists become the partition key — probing is partition
-    pruning.  List count should grow ≈ √N with the corpus (the
-    classic IVF sizing); the defaults (128 lists, 64 probes ⇒ ~50%
-    mass) are tuned for the bench corpus, where finer quantization at
-    the same probed mass measurably lifts recall (grid in
-    BASELINE.md).
-
-    Sample-fit contract (VERDICT r02 #3): the quantizer is fit on a
-    deterministic hash-sample of at most ``fit_sample_cap`` vectors —
-    centroid quality at k≈32 saturates far below 100k points, and a
-    full-corpus fit would make multiple passes over 100 TB just to
-    place the centroids.  The bounded sample is collected and fit
-    driver-side (seeded numpy Lloyd's with k-means++ init — one BLAS
-    matmul per iteration, no per-iteration distributed jobs), then the
-    centroids broadcast and the full corpus assigned in ONE
-    Arrow-batched matmul pass.  Recall is re-measured per bench run
-    against the exact oracle; the assignment pass, not the fit, is the
-    recall-bearing step."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import IntegerType
-
-    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, v: a + v * v))
-    base = (
-        embeddings.select(
-            F.col(id_col).alias("vec_id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
-        )
-        # norm computed ONCE per row (inside the transform lambda it
-        # would re-aggregate per element); zero vectors stay unnormalized
-        # rather than becoming NaN features that poison the fit
-        .withColumn("nrm", norm(F.col("vec")))
-        .withColumn(
-            "unit",
-            F.when(
-                F.col("nrm") > 0,
-                F.transform(F.col("vec"), lambda x: x / F.col("nrm")),
-            ).otherwise(F.col("vec")),
-        )
-        .drop("nrm")
+    """One-shot IVF ANN: build an :class:`IVFIndex` and query it once.
+    Callers issuing repeated queries should hold an :class:`IVFIndex`
+    instead — this convenience wrapper pays the full fit+assignment
+    chain per call (and leaves the assignment unmaterialized so the
+    single downstream job computes it inline, exactly the pre-r4
+    plan)."""
+    idx = IVFIndex(
+        embeddings,
+        n_centroids=n_centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        fit_sample_cap=fit_sample_cap,
+        materialize=False,
     )
-    n_vecs = embeddings.count()
-    if n_vecs > fit_sample_cap:
-        # deterministic hash-sample (id-keyed, reproducible across
-        # sessions/partitionings — unlike .sample or .limit)
-        denom = -(-n_vecs // fit_sample_cap)  # ceil
-        fit_df = base.filter(
-            F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(denom)) == 0
-        )
-    else:
-        fit_df = base
-    sample = np.array(
-        [r["unit"] for r in fit_df.select("unit").collect()], dtype=np.float64
-    )
-    if sample.size == 0:  # empty corpus → no results
-        return embeddings.sparkSession.createDataFrame(
-            [], "query_id int, rank long, vec_id long, cosine double"
-        )
-    centers = _kmeans_fit(sample, n_centroids, seed)
-    cnorm = np.linalg.norm(centers, axis=1)
-    # assignment: argmin ||x - c||² == argmax (x·c − |c|²/2); one BLAS
-    # product per Arrow batch, centroids captured in the UDF closure
-    half_sq = (cnorm ** 2) / 2.0
-
-    @pandas_udf(IntegerType())
-    def assign(units: pd.Series) -> pd.Series:
-        if units.empty:
-            return pd.Series([], dtype="int32")
-        M = np.vstack(units.to_numpy())
-        lid = np.argmax(M @ centers.T - half_sq[None, :], axis=1)
-        return pd.Series(lid.astype(np.int32))
-
-    lists = base.select("vec_id", "vec", assign(F.col("unit")).alias("list_id"))
-
-    spark = embeddings.sparkSession
-    qrows = []
-    for qid, v in query_vectors:
-        arr = np.asarray(v, dtype=np.float64)
-        nrm = np.linalg.norm(arr)
-        qu = arr / nrm if nrm > 0 else arr
-        # probe by the SAME affinity the assignment uses (unit-vector
-        # Euclidean: qu·c − |c|²/2) — ranking lists by raw cosine here
-        # would probe a different neighborhood than the one the
-        # quantizer filed the vectors under, costing recall
-        aff = qu @ centers.T - (cnorm ** 2) / 2.0
-        for lid in np.argsort(-aff)[:n_probe]:
-            qrows.append((qid, [float(x) for x in v], int(lid)))
-    qdf = F.broadcast(
-        spark.createDataFrame(qrows, "query_id int, qvec array<double>, list_id int")
-    )
-    scored = lists.join(qdf, "list_id").select(
-        "query_id",
-        "vec_id",
-        F.round(_cosine(F.col("vec"), F.col("qvec")), score_round).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.filter(F.col("cosine").isNotNull())
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "cosine")
-        .orderBy("query_id", "rank")
-    )
+    return idx.topk(query_vectors, k=k, n_probe=n_probe, score_round=score_round)

@@ -179,3 +179,26 @@ def test_wand_equals_exhaustive_random(data, n_terms, k):
 def test_idf_formula():
     assert bm25_idf(1, 1) == math.log(1 + 0.5 / 1.5)
     assert bm25_idf(10, 1000) > bm25_idf(500, 1000)
+
+
+def test_live_handle_survives_index_rebuild(spark, tmp_path):
+    """ADVICE r03 #3: a BM25Index handle caches the segment DataFrames
+    at construction; rebuilding the index directory under a live
+    handle must not serve stale (or deleted-file) results.  The handle
+    stat-checks stats.json per search and refreshes itself."""
+    root = str(tmp_path / "idx_rebuild")
+    docs_a = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma")], "doc_id long, text string"
+    )
+    build_index_fast(spark, docs_a, root)
+    idx = BM25Index(spark, root)
+    got_a = {r.doc_id for r in idx.search([(1, "alpha")], k=10).collect()}
+    assert got_a == {1, 2}
+    # rebuild the SAME directory with a different corpus
+    shutil.rmtree(root)
+    docs_b = spark.createDataFrame(
+        [(7, "alpha delta"), (8, "epsilon zeta")], "doc_id long, text string"
+    )
+    build_index_fast(spark, docs_b, root)
+    got_b = {r.doc_id for r in idx.search([(1, "alpha")], k=10).collect()}
+    assert got_b == {7}, f"stale handle: {got_b}"

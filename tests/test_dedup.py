@@ -295,3 +295,51 @@ def test_ngram_prefix_filtering_complete_t08(spark):
                 want.append((a, b, j))
     assert got == sorted(want)
     assert len(want) > 0
+
+
+def test_ngram_staged_grams_match_persist_path(spark, tmp_path):
+    """stage_dir (the grouping-scale path: exploded grams staged to
+    parquet instead of the cluster cache) must produce exactly the
+    persist path's pairs and groups."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    stage = str(tmp_path / "grams")
+    base = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    )
+    staged = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, stage_dir=stage).collect()
+    )
+    assert staged == base and len(base) > 0
+    import os
+
+    assert any(f.endswith(".parquet") for f in os.listdir(stage))
+    g_base = sorted(
+        (r.doc_id, r.group_id, r.n_docs)
+        for r in dedup.near_dup_groups(docs, threshold=0.5).collect()
+    )
+    g_staged = sorted(
+        (r.doc_id, r.group_id, r.n_docs)
+        for r in dedup.near_dup_groups(
+            docs, threshold=0.5, stage_dir=str(tmp_path / "grams2")
+        ).collect()
+    )
+    assert g_staged == g_base
+
+
+def test_star_cap_metrics_report_engagement(spark):
+    """metrics={} fills overcap_buckets: zero on a normal corpus,
+    positive under an identical-docs flood (ADVICE r03 #2 — pair
+    consumers can now detect when the star bound engaged)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    m: dict = {}
+    dedup.minhash_candidates(docs, metrics=m).count()
+    assert m["overcap_buckets"] == 0
+    flood = spark.createDataFrame(
+        [(i, "the same exact document text repeated for everyone") for i in range(300)],
+        "doc_id long, text string",
+    )
+    m2: dict = {}
+    dedup.minhash_candidates(flood, max_bucket_docs=64, metrics=m2).count()
+    assert m2["overcap_buckets"] >= dedup.N_BANDS

@@ -156,3 +156,31 @@ def test_ivf_tolerates_zero_vectors(spark):
     q = [(0, [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]])]
     rows = similarity.ivf_cosine_topk(emb, q, k=5, n_centroids=8, n_probe=8).collect()
     assert len(rows) == 5
+
+
+def test_ivf_index_handle_matches_one_shot(spark):
+    """The build-once IVFIndex handle (persisted assignment) must
+    return exactly what the one-shot wrapper returns, across repeated
+    queries (VERDICT r03 #2)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvecs = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 2).collect()
+    ]
+    one_shot = sorted(
+        (r.query_id, r.rank, r.vec_id, r.cosine)
+        for r in similarity.ivf_cosine_topk(emb, qvecs, k=5).collect()
+    )
+    idx = similarity.IVFIndex(emb)
+    try:
+        first = sorted(
+            (r.query_id, r.rank, r.vec_id, r.cosine)
+            for r in idx.topk(qvecs, k=5).collect()
+        )
+        second = sorted(
+            (r.query_id, r.rank, r.vec_id, r.cosine)
+            for r in idx.topk(qvecs, k=5).collect()
+        )
+    finally:
+        idx.unpersist()
+    assert first == one_shot and second == one_shot and len(first) > 0
