@@ -162,9 +162,13 @@ def main() -> None:
         (r.query_id, r.vec_id)
         for r in similarity.cosine_topk(emb, qvecs, k=10).collect()
     }
+    # best-of-5: r3 measured 1.54 s on a code-identical path vs 0.90 s
+    # in r2 — almost certainly hypervisor-steal noise (VERDICT r03 #2
+    # asks for a deeper best-of to confirm)
     approx_rows = timed(
         "lsh_ann_multiprobe",
         lambda: similarity.lsh_cosine_topk(emb, qvecs, k=10).collect(),
+        repeats=5,
     )
     lsh_recall = len({(r.query_id, r.vec_id) for r in approx_rows} & exact_top) / max(
         len(exact_top), 1

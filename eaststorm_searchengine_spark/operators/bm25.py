@@ -61,12 +61,21 @@ def _round_half_up(x: float, digits: int) -> float:
 class BM25Index:
     """Handle on a built index directory (see index_build.build_index)."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, pin: bool = False):
+        """``pin=True`` persists the segment/stats DataFrames in the
+        executor cache (MEMORY_AND_DISK) — the serving-path move for a
+        long-lived query server: repeat queries scan the columnar cache
+        instead of re-reading parquet.  Off by default (a pinned index
+        holds cluster cache for the handle's lifetime; call
+        :meth:`unpersist` when done)."""
         self.spark = spark
         self.paths = IndexPaths(root)
+        self.pin = pin
         self._load()
 
     def _load(self) -> None:
+        from pyspark.storagelevel import StorageLevel
+
         from ..sources import fsio
 
         self.stats = json.loads(fsio.read_text(self.spark, self.paths.stats))
@@ -80,7 +89,15 @@ class BM25Index:
         # long-running query server gets for free
         self._segs_df = self.spark.read.parquet(self.paths.segments)
         self._stats_df = self.spark.read.parquet(self.paths.term_stats)
+        if self.pin:
+            self._segs_df = self._segs_df.persist(StorageLevel.MEMORY_AND_DISK)
+            self._stats_df = self._stats_df.persist(StorageLevel.MEMORY_AND_DISK)
         self._stats_mtime = self._current_mtime()
+
+    def unpersist(self) -> None:
+        if self.pin:
+            self._segs_df.unpersist()
+            self._stats_df.unpersist()
 
     def _current_mtime(self) -> float | None:
         try:
@@ -97,6 +114,7 @@ class BM25Index:
         re-read the handle state."""
         m = self._current_mtime()
         if m is not None and self._stats_mtime is not None and m != self._stats_mtime:
+            self.unpersist()  # drop pinned copies of the dead files
             for p in (self.paths.segments, self.paths.term_stats, self.paths.doclens):
                 try:
                     self.spark.catalog.refreshByPath(p)

@@ -6,17 +6,28 @@ same job runs at two parallelism levels — ``local[N]`` vs
 ``local[4N]`` (default N=2, override SCALING_N) — on identical input, and efficiency =
 (T_N / T_4N) / 4.
 
-The job is the headline workload: full index build (html → extraction →
-tokenize → salted shuffle → compressed segments) over a 50k-page corpus
-(the sf0.1 synthetic pages replicated with disjoint doc-id ranges —
-deterministic, derived solely from driver testdata; default ×100 =
-500k pages ≈ 9× the reference's 55,931-page production crawl,
-AWS_SETUP.md:384 — sized so per-core compute dominates fixed job
-overhead, the standard way to measure parallel efficiency).
-Each level runs in a fresh spark-submit-style subprocess so JVM/session
-state can't leak between measurements.
+Two jobs (select with SCALING_JOB):
 
-Writes scaling_results.json and prints one JSON line.
+* ``index`` (default, the headline workload): full index build (html →
+  extraction → tokenize → salted shuffle → compressed segments) over
+  the sf0.1 synthetic pages replicated with disjoint doc-id ranges —
+  deterministic, derived solely from driver testdata; default ×100 =
+  500k pages ≈ 9× the reference's 55,931-page production crawl,
+  AWS_SETUP.md:384 — sized so per-core compute dominates fixed job
+  overhead, the standard way to measure parallel efficiency.
+  Writes scaling_results.json.
+* ``groups`` (VERDICT r03 #5: the heaviest bench entry / flagship
+  LLM-pipeline product): MinHash-LSH near-dup grouping
+  (``minhash_dup_groups`` — signatures → banding → star-capped pairs →
+  connected components) over the sf0.1 documents replicated with a
+  per-replica token salt (every token suffixed ``_i``), so replicas
+  are NOT near-duplicates of each other and the corpus's internal
+  near-dup structure is replicated ×GROUPS_REPLICAS instead of
+  creating one pathological mega-flood.  Writes
+  scaling_groups_results.json.
+
+Each level runs in a fresh spark-submit-style subprocess so JVM/session
+state can't leak between measurements.  Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -62,6 +73,66 @@ spark.stop()
 """
 
 
+_CHILD_GROUPS = r"""
+import json, os, sys, time
+sys.path.insert(0, {here!r})
+from pyspark.sql import functions as F
+from eaststorm_searchengine_spark.operators import dedup
+from eaststorm_searchengine_spark.session import get_spark
+
+cores = int(sys.argv[1])
+docs_path = sys.argv[2]
+spark = get_spark(f"scaling-groups-{{cores}}", cores=cores, shuffle_partitions=64)
+spark.sparkContext.setLogLevel("ERROR")
+
+docs = spark.read.parquet(docs_path)
+n = docs.count()
+spark.range(1000).select(F.sum("id")).collect()  # JVM warm-up
+import pandas as _pd
+spark.createDataFrame([(i,) for i in range(cores * 4)], "v int").repartition(cores).mapInPandas(
+    lambda bs: (_pd.DataFrame({{"v": [len(b)]}}) for b in bs), "v int"
+).count()  # python-worker warm-up (spawn cost out of the timing)
+
+t0 = time.time()
+n_groups = dedup.minhash_dup_groups(docs).count()
+dt = time.time() - t0
+print("RESULT " + json.dumps({{"cores": cores, "sec": dt, "docs": n,
+                               "docs_per_sec": n / dt, "group_rows": n_groups}}))
+spark.stop()
+"""
+
+
+def _prepare_groups_corpus() -> str:
+    """Replicated documents with per-replica token salt (untimed):
+    every token of replica i gets suffix ``_i``, so the shingle sets
+    of different replicas are disjoint — the corpus's internal
+    near-dup structure scales, not one giant duplicate flood."""
+    from pyspark.sql import functions as F
+
+    from eaststorm_searchengine_spark.session import get_spark
+
+    replicas = int(os.environ.get("GROUPS_REPLICAS", "40"))
+    tmp = os.path.join(HERE, "_tmp")
+    tag = os.path.basename(os.path.normpath(SF_DIR))
+    path = os.path.join(tmp, f"scaling_docs_{tag}_x{replicas}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    spark = get_spark("scaling-groups-prep", cores=16, shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    n = base.count()
+    rep = None
+    for i in range(replicas):
+        part = base.select(
+            (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
+            F.regexp_replace("text", r"(\S+)", f"$1_{i}").alias("text"),
+        )
+        rep = part if rep is None else rep.unionByName(part)
+    rep.repartition(64).write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
 def _prepare_corpus() -> str:
     """Materialize the replicated pages corpus once (untimed)."""
     from pyspark.sql import functions as F
@@ -87,9 +158,10 @@ def _prepare_corpus() -> str:
     return path
 
 
-def _run(cores: int, pages_path: str) -> dict:
+def _run(cores: int, pages_path: str, job: str = "index") -> dict:
     tmp = os.path.join(HERE, "_tmp")
-    code = _CHILD.format(here=HERE, tmp=tmp)
+    tpl = _CHILD_GROUPS if job == "groups" else _CHILD
+    code = tpl.format(here=HERE, tmp=tmp)
     proc = subprocess.run(
         [sys.executable, "-c", code, str(cores), pages_path],
         capture_output=True,
@@ -103,7 +175,15 @@ def _run(cores: int, pages_path: str) -> dict:
 
 
 def main() -> None:
-    pages_path = _prepare_corpus()
+    job = os.environ.get("SCALING_JOB", "index")
+    if job == "groups":
+        pages_path = _prepare_groups_corpus()
+        job_desc = "minhash_dup_groups (LSH banding -> star-capped pairs -> CC)"
+        out_name = "scaling_groups_results.json"
+    else:
+        pages_path = _prepare_corpus()
+        job_desc = "index_build_html (full extraction pipeline)"
+        out_name = "scaling_results.json"
     n_lo = int(os.environ.get("SCALING_N", "2"))
     rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
     # the sandbox VM's throughput fluctuates ~3x between runs, so run
@@ -111,13 +191,13 @@ def main() -> None:
     # (the machine-noise-free capability)
     lo_runs, hi_runs = [], []
     for _ in range(rounds):
-        lo_runs.append(_run(n_lo, pages_path))
-        hi_runs.append(_run(n_lo * 4, pages_path))
+        lo_runs.append(_run(n_lo, pages_path, job))
+        hi_runs.append(_run(n_lo * 4, pages_path, job))
     lo = min(lo_runs, key=lambda r: r["sec"])
     hi = min(hi_runs, key=lambda r: r["sec"])
     eff = (lo["sec"] / hi["sec"]) / 4.0
     result = {
-        "job": "index_build_html (full extraction pipeline)",
+        "job": job_desc,
         "corpus_docs": lo["docs"],
         "n_cores": lo["cores"],
         "n_sec": round(lo["sec"], 2),
@@ -131,7 +211,7 @@ def main() -> None:
         "all_runs": {"n": [round(r["sec"], 1) for r in lo_runs],
                       "four_n": [round(r["sec"], 1) for r in hi_runs]},
     }
-    with open(os.path.join(HERE, "scaling_results.json"), "w") as f:
+    with open(os.path.join(HERE, out_name), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 
