@@ -490,17 +490,35 @@ def q_anchor_index(spark, sf_dir):
 
 
 def q_pagerank(spark, sf_dir):
-    return pagerank.pagerank_pipeline(_pages(spark, sf_dir))
+    """Host-level PageRank final report (reference fixpoint semantics:
+    per-iteration %.8f quantization, dangling redistribution, social
+    ×0.10, wiki-family merge).  Oracle-checked (r4): an INDEPENDENT
+    pure-Python power iteration (`_python_pagerank_report` — no code
+    shared with the DataFrame loop) is materialized as aux parquet and
+    the driver hash-compares.  Both sides round the report to 8
+    decimals at this contract boundary (ranks are already 8-decimal
+    quantized by the fixpoint; the rounding canonicalizes the social
+    multiply and wiki sum)."""
+    return pagerank.pagerank_pipeline(_pages(spark, sf_dir)).select(
+        "host", F.round("rank", 8).alias("rank")
+    )
 
 
 def q_composite_search(spark, sf_dir):
+    """Reference composite ranker (SearchServer.java shape): idf-
+    weighted title/url index hits + pagerank blend → top-60 → exact/
+    prefix title boosts → top-50.  Oracle-checked (r4): an INDEPENDENT
+    pure-Python ranker (`_python_composite_topk`, the pytest oracle's
+    algorithm) over independently-built indexes and an independent
+    power iteration is materialized as aux parquet; both sides round
+    the score to 6 decimals at this contract boundary."""
     pages = _pages(spark, sf_dir).cache()
     t_idx = indexers.title_index(pages)
     u_idx = indexers.url_index(pages)
     ranks = pagerank.pagerank(pagerank.build_host_graph(pages))
     return search.composite_search(
         spark, QUERY_SET, t_idx, u_idx, ranks, pages
-    )
+    ).select("query_id", "rank", "url", F.round("score", 6).alias("score"), "title")
 
 
 def q_host_concentration(spark, sf_dir):
@@ -722,9 +740,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_indexes": q_field_indexes,
         "anchor_index": q_anchor_index,
         "crawl_frontier": q_crawl_frontier,
-        # non-SQL ops (rows-only; pytest/golden-oracled)
         "pagerank_hosts": q_pagerank,
         "composite_search": q_composite_search,
+        # non-SQL ops (rows-only; pytest/golden-oracled)
         "simhash_near_dups": q_simhash_near_dups,
         "minhash_groups": q_minhash_groups,
         "fingerprints": q_fingerprints,
@@ -778,7 +796,8 @@ def _oracle_aux_paths(sf_dir: str = _ORACLE_SF) -> dict:
     aux = os.path.join(_TMP, f"oracle_aux2_{tag}")
     paths = {
         name: os.path.join(aux, f"{name}.parquet")
-        for name in ("stem_map", "pages_meta", "field_terms", "anchor_meta", "link_edges")
+        for name in ("stem_map", "pages_meta", "field_terms", "anchor_meta",
+                     "link_edges", "pagerank_report", "composite_topk")
     }
     meta_path = os.path.join(aux, "meta.json")
     if all(os.path.exists(p) for p in paths.values()) and os.path.exists(meta_path):
@@ -802,6 +821,10 @@ def _oracle_aux_paths(sf_dir: str = _ORACLE_SF) -> dict:
     field_rows: set[tuple[str, str, str]] = set()
     anchor_pos: dict[tuple[str, str], set[int]] = {}
     edges: list[tuple[str, str]] = []
+    pr_adj: dict[str, set[str]] = {}
+    comp_title_idx: dict[str, set[str]] = {}
+    comp_url_idx: dict[str, set[str]] = {}
+    titles_nonblank: dict[str, str] = {}
     for r in docs:
         text = r["text"] or ""
         vocab.update(sqltok.tokens_py(text))
@@ -820,8 +843,12 @@ def _oracle_aux_paths(sf_dir: str = _ORACLE_SF) -> dict:
         if title is not None:
             for t in set(textproc.clean_title_tokens(title)):
                 field_rows.add(("title", t, url))
+                comp_title_idx.setdefault(t, set()).add(url)
+            if not textproc.java_is_blank(title):
+                titles_nonblank[url] = title
         for t in set(textproc.extract_tokens_from_url(url)):
             field_rows.add(("url", t, url))
+            comp_url_idx.setdefault(t, set()).add(url)
         for t in set(textproc.extract_alt_tokens(html)):
             field_rows.add(("imagealt", t, url))
         for hit in _anchor_hits_py(html):
@@ -830,6 +857,15 @@ def _oracle_aux_paths(sf_dir: str = _ORACLE_SF) -> dict:
             )
         for dst in _candidates(html, url):
             edges.append((url, dst))
+        host = textproc.extract_host(url)
+        if host is not None:
+            dsts = {
+                textproc.extract_host(u)
+                for u in textproc.extract_links_for_pagerank(html, url)
+            }
+            dsts.discard(None)
+            dsts.discard("")
+            pr_adj.setdefault(host, set()).update(dsts)
     terms = sorted(vocab)
     pq.write_table(
         pa.table({"term": terms, "stemmed": [porter_stem(t) for t in terms]}),
@@ -871,6 +907,28 @@ def _oracle_aux_paths(sf_dir: str = _ORACLE_SF) -> dict:
         }),
         paths["link_edges"],
     )
+    report = _python_pagerank_report(pr_adj)
+    hosts_sorted = sorted(report, key=lambda h: (-report[h], h))
+    pq.write_table(
+        pa.table({
+            "host": hosts_sorted,
+            "rank": [report[h] for h in hosts_sorted],
+        }),
+        paths["pagerank_report"],
+    )
+    comp = _python_composite_topk(
+        comp_title_idx, comp_url_idx, titles_nonblank, _python_pagerank_ranks(pr_adj)
+    )
+    pq.write_table(
+        pa.table({
+            "query_id": pa.array([c[0] for c in comp], type=pa.int32()),
+            "rank": pa.array([c[1] for c in comp], type=pa.int64()),
+            "url": [c[2] for c in comp],
+            "score": pa.array([c[3] for c in comp], type=pa.float64()),
+            "title": [c[4] for c in comp],
+        }),
+        paths["composite_topk"],
+    )
     seeds = [textproc.normalize_seed(u) for u in sorted(urls)[:2]]
     meta = {"n_docs": n_docs, "sum_ids": sum_ids, "sum_lens": sum_lens, "seeds": seeds}
     with open(meta_path, "w") as fh:
@@ -884,6 +942,128 @@ def _anchor_hits_py(html: str) -> list[dict]:
     from eaststorm_searchengine_spark.functions.udfs import _anchor_hits
 
     return _anchor_hits(html)
+
+
+def _r8(x: float) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.00000001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _python_pagerank_ranks(adj: dict[str, set[str]]) -> dict[str, float]:
+    """INDEPENDENT single-threaded power iteration with the reference's
+    exact semantics (damping 0.85, ≤20 iters, per-iteration %.8f
+    HALF_UP quantization — part of the fixpoint contract, Σ|Δ| <
+    1e-4·N stop, dangling mass redistributed, link-target-only hosts
+    ranked but not iterated).  This is the pytest fixpoint oracle's
+    algorithm (tests/test_parity_jobs.py) re-run over the full
+    synthesized corpus so the driver can hash-check the engine's
+    iterative DataFrame loop — which shares NO code with this
+    function."""
+    from eaststorm_searchengine_spark.operators import pagerank as pr
+
+    n = len(adj)
+    if n == 0:
+        return {}
+    ranks = {h: 1.0 / n for h in adj}
+    for it in range(pr.MAX_ITERATIONS):
+        joined = {h: ranks[h] for h in adj if h in ranks}
+        dangling = sum(v for h, v in joined.items() if not adj[h])
+        dc = dangling / n
+        incoming: dict[str, float] = {h: 0.0 for h in joined}
+        for h in joined:
+            if adj[h]:
+                c = joined[h] / len(adj[h])
+                for d in sorted(adj[h]):
+                    incoming[d] = incoming.get(d, 0.0) + c
+        new_ranks = {
+            h: _r8((1 - pr.DECAY) / n + pr.DECAY * (inc + dc))
+            for h, inc in incoming.items()
+        }
+        if it > 0:
+            diff = sum(
+                abs(new_ranks[h] - ranks[h]) for h in ranks if h in new_ranks
+            )
+            if diff < pr.CONVERGENCE_THRESHOLD * n:
+                return new_ranks
+        ranks = new_ranks
+    return ranks
+
+
+def _python_pagerank_report(adj: dict[str, set[str]]) -> dict[str, float]:
+    """Final report over the fixpoint ranks: social ×0.10, wiki-family
+    merge (PageRank.java:243-277), 8-decimal HALF_UP at the contract
+    boundary (matching q_pagerank's round)."""
+    from eaststorm_searchengine_spark.operators import pagerank as pr
+
+    ranks = _python_pagerank_ranks(adj)
+    social = set(pr.SOCIAL_MEDIA)
+    report: dict[str, float] = {}
+    wiki_sum = 0.0
+    for h, v in ranks.items():
+        if h in social:
+            v *= 0.10
+        if any(h.endswith(s) for s in pr.WIKI_SUFFIXES):
+            wiki_sum += v
+        else:
+            report[h] = _r8(v)
+    report["WikiFamily(all)"] = _r8(wiki_sum)
+    return report
+
+
+def _python_composite_topk(
+    title_idx: dict[str, set[str]],
+    url_idx: dict[str, set[str]],
+    titles_nonblank: dict[str, str],
+    ranks: dict[str, float],
+) -> list[tuple[int, int, str, float, str]]:
+    """INDEPENDENT single-threaded composite ranker over QUERY_SET —
+    the pytest oracle's algorithm (tests/test_parity_jobs.py::
+    _python_composite) with the engine's blank-title fallback (a
+    non-None but all-Java-whitespace title falls back to the url,
+    matching extract_title_nonblank_udf): idf-weighted title/url index
+    hits + pagerank blend → top-60 → title boosts → top-50."""
+    import math as _math
+
+    from eaststorm_searchengine_spark import textproc
+    from eaststorm_searchengine_spark.operators import search as se
+
+    out = []
+    for qid, q in QUERY_SET:
+        scores: dict[str, float] = {}
+        for t in se._query_terms(q):
+            for idx, w in ((title_idx, se.WEIGHT_TITLE), (url_idx, se.WEIGHT_URL)):
+                urls = idx.get(t)
+                if not urls:
+                    continue
+                idf = _math.log(se.TOTAL_DOCS_ESTIMATE / (1.0 + len(urls)))
+                for u in urls:
+                    scores[u] = scores.get(u, 0.0) + w * idf
+        for u in list(scores):
+            host = textproc.extract_host(u)
+            if host in ranks:
+                scores[u] += ranks[host] * se.WEIGHT_PAGERANK
+        top60 = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:60]
+        ql = textproc.java_trim(q).lower()
+        boosted = []
+        for u, s in top60:
+            title = titles_nonblank.get(u, u)
+            tl = title.lower()
+            if tl == ql:
+                s += 50.0
+            elif tl.startswith(ql):
+                s += 25.0
+            boosted.append((u, s, title))
+        boosted.sort(key=lambda x: (-x[1], x[0]))
+        # HALF_UP-on-shortest-repr rounding == Spark F.round(col, 6)
+        # (the bm25 driver-merge parity helper)
+        from eaststorm_searchengine_spark.operators.bm25 import _round_half_up
+
+        for rank, (u, s, title) in enumerate(boosted[:50], 1):
+            out.append((qid, rank, u, _round_half_up(s, 6), title))
+    return out
 
 
 def _guard_sql(n_docs: int, sum_ids: int, sum_lens: int) -> str:
@@ -1312,6 +1492,16 @@ def oracle_sql() -> dict[str, str]:
                row_number() OVER (PARTITION BY term ORDER BY hits DESC, url ASC)::BIGINT AS rk,
                url, positions
         FROM p ORDER BY term, rk
+    """
+    out["pagerank_hosts"] = f"""
+        SELECT host, rank
+        FROM read_parquet('{aux["pagerank_report"]}') WHERE {guard}
+        ORDER BY rank DESC, host ASC
+    """
+    out["composite_search"] = f"""
+        SELECT query_id, rank, url, score, title
+        FROM read_parquet('{aux["composite_topk"]}') WHERE {guard}
+        ORDER BY query_id, rank
     """
     # independent BFS over the aux link graph: min first-reach depth
     # via a recursive CTE, depth-bounded exactly like the engine's
