@@ -226,7 +226,7 @@ def minhash_udf(text: pd.Series) -> pd.Series:
 def minhash_candidates(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_bands: int = N_BANDS, max_bucket_docs: int = 256,
-    metrics: dict | None = None,
+    metrics: dict | None = None, sort: bool = True,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of their MinHash signature →
     candidate pairs (doc_a < doc_b, n_shared_bands).  The groupBy key is
@@ -274,7 +274,8 @@ def minhash_candidates(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("long").alias("n_shared_bands"))
     )
-    return pairs.orderBy("doc_a", "doc_b")
+    # sort=False for pipeline consumers (see ngram_jaccard_pairs)
+    return pairs.orderBy("doc_a", "doc_b") if sort else pairs
 
 
 # ---- simhash -------------------------------------------------------------
@@ -390,6 +391,7 @@ _GRAM_CACHE_LOCK = threading.Lock()
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 3, threshold: float = 0.8, stage_dir: str | None = None,
+    sort: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs (doc_a < doc_b, J ≥ threshold) via
     *prefix filtering* (Chaudhuri et al. ICDE'06 / Bayardo et al.
@@ -490,7 +492,11 @@ def ngram_jaccard_pairs(
         .withColumn("jaccard", F.round(F.col("n_inter") / F.when(F.col("un") != 0, F.col("un")), 6))
         .select("doc_a", "doc_b", "jaccard")
     )
-    return jac.filter(F.col("jaccard") >= threshold).orderBy("doc_a", "doc_b")
+    out = jac.filter(F.col("jaccard") >= threshold)
+    # sort=False for pipeline consumers (connected components): the
+    # global range-exchange buys nothing before a hash-keyed CC loop,
+    # and its cost is the FULL pair set at corpus scale
+    return out.orderBy("doc_a", "doc_b") if sort else out
 
 
 def _gram_sets(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
@@ -640,7 +646,8 @@ def near_dup_groups(
     table to parquet instead of the cluster cache — see
     :func:`ngram_jaccard_pairs`."""
     pairs = ngram_jaccard_pairs(docs, text_col=text_col, id_col=id_col,
-                                n=n, threshold=threshold, stage_dir=stage_dir)
+                                n=n, threshold=threshold, stage_dir=stage_dir,
+                                sort=False)
     return _groups_from_pairs(pairs)
 
 
@@ -662,9 +669,9 @@ def minhash_dup_groups(
     threshold > 1 can drop genuinely-similar over-cap pairs —
     code-review r03b); re-verify with an exact measure instead if
     precision matters."""
-    pairs = minhash_candidates(docs, text_col=text_col, id_col=id_col).filter(
-        F.col("n_shared_bands") >= min_shared_bands
-    )
+    pairs = minhash_candidates(
+        docs, text_col=text_col, id_col=id_col, sort=False
+    ).filter(F.col("n_shared_bands") >= min_shared_bands)
     return _groups_from_pairs(pairs)
 
 
