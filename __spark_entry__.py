@@ -450,25 +450,20 @@ def _pages(spark, sf_dir):
 
 def q_field_indexes(spark, sf_dir):
     """The four url-set index builders (pt-page / pt-title / pt-url /
-    pt-imagealt analogues) in one contract entry, tagged by field.
-    Oracle-checked (r4): the per-page (field, term, url) facts are
-    materialized single-threaded pure-Python by ``_oracle_aux_paths``
-    and the DuckDB oracle re-aggregates them — an independent check of
-    the distributed explode → groupBy → collect_set → sort plan; the
-    tokenizer semantics themselves stay golden-tested against the
-    compiled reference binary (tests/test_textproc.py)."""
-    pages = _pages(spark, sf_dir).cache()
-    parts = [
-        indexers.body_index(pages).withColumn("field", F.lit("body")),
-        indexers.title_index(pages).withColumn("field", F.lit("title")),
-        indexers.url_index(pages).withColumn("field", F.lit("url")),
-        indexers.imagealt_index(pages).withColumn("field", F.lit("imagealt")),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.select("field", "term", _csv("urls").alias("urls")).orderBy(
-        "field", "term"
+    pt-imagealt analogues) in one contract entry, tagged by field —
+    built by the SINGLE-PASS combined builder (one corpus scan + one
+    shuffle; equality with the four individual builders is pytest-
+    gated, tests/test_parity_jobs.py).  Oracle-checked (r4): the
+    per-page (field, term, url) facts are materialized single-threaded
+    pure-Python by ``_oracle_aux_paths`` and the DuckDB oracle
+    re-aggregates them — an independent check of the distributed
+    explode → groupBy → collect_set → sort plan; the tokenizer
+    semantics themselves stay golden-tested against the compiled
+    reference binary (tests/test_textproc.py)."""
+    return (
+        indexers.field_indexes(_pages(spark, sf_dir))
+        .select("field", "term", _csv("urls").alias("urls"))
+        .orderBy("field", "term")
     )
 
 

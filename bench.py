@@ -137,6 +137,9 @@ def main() -> None:
     timed("title_index", lambda: indexers.title_index(pages).count())
     timed("url_index", lambda: indexers.url_index(pages).count())
     timed("anchor_index", lambda: indexers.anchor_index(pages).count())
+    # one corpus pass for all four url-set indexes vs the three
+    # individual scans above (body+title+url; imagealt not timed solo)
+    timed("field_indexes_single_pass", lambda: indexers.field_indexes(pages).count())
     timed("pagerank", lambda: pagerank.pagerank_pipeline(pages).count())
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     timed("dedup_exact", lambda: dedup.exact_dup_groups(docs).count())

@@ -242,3 +242,34 @@ def doc_postings_stem_udf(text: pd.Series) -> pd.DataFrame:
     return _doc_postings_frame(
         [[porter_stem(w) for w in textproc.tokenize(t)] for t in text]
     )
+
+
+# Combined per-page field terms: all four url-set index tokenizers in
+# ONE pass over the corpus — the union-of-four-indexes shape reads the
+# pages table four times (four UDF evaluations of the same rows); at
+# 10^12 pages that is four full scans for one logical product.
+_FIELD_TERMS_TYPE = ArrayType(
+    StructType([StructField("field", StringType()), StructField("term", StringType())])
+)
+
+
+def _field_terms_row(html: str | None, url: str | None, text: str | None) -> list[dict]:
+    out = []
+    for t in set(textproc.tokenize(text)):
+        out.append({"field": "body", "term": t})
+    title = textproc.extract_title(html)
+    if title is not None:
+        for t in set(textproc.clean_title_tokens(title)):
+            out.append({"field": "title", "term": t})
+    for t in set(textproc.extract_tokens_from_url(url)):
+        out.append({"field": "url", "term": t})
+    for t in set(textproc.extract_alt_tokens(html)):
+        out.append({"field": "imagealt", "term": t})
+    return out
+
+
+@pandas_udf(_FIELD_TERMS_TYPE)
+def field_terms_udf(html: pd.Series, url: pd.Series, text: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_field_terms_row(h, u, t) for h, u, t in zip(_as_str(html), url, text)]
+    )

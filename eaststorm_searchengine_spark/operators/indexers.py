@@ -110,3 +110,24 @@ def anchor_index(pages: DataFrame) -> DataFrame:
             ).alias("postings")
         )
     )
+
+
+def field_indexes(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """All four url-set indexes in ONE corpus pass → (field, term,
+    urls): a single combined tokenizer UDF emits the per-page distinct
+    (field, term) set, then one explode → groupBy((field, term)) →
+    collect_set builds every index together.  Same results as the four
+    individual builders (equality-tested in tests/test_parity_jobs.py)
+    with one scan and one shuffle instead of four of each — the 100-TB
+    shape for producing the full index family."""
+    from ..functions.udfs import field_terms_udf
+
+    return (
+        pages.select(
+            "url",
+            F.explode(field_terms_udf("html", "url", F.col(text_col))).alias("ft"),
+        )
+        .select("url", F.col("ft.field").alias("field"), F.col("ft.term").alias("term"))
+        .groupBy("field", "term")
+        .agg(F.sort_array(F.collect_set("url")).alias("urls"))
+    )

@@ -242,3 +242,25 @@ def test_composite_search(spark, page_rows, pages_df):
     ]
     want = _python_composite(page_rows, queries, ranks)
     assert got == want
+
+
+def test_field_indexes_single_pass_equals_union_of_four(spark, pages_df):
+    """The one-pass combined builder must equal the union of the four
+    individual index builders exactly (field, term, sorted urls)."""
+    from pyspark.sql import functions as F
+
+    pages = pages_df.cache()
+    combined = {
+        (r.field, r.term): list(r.urls)
+        for r in indexers.field_indexes(pages).collect()
+    }
+    union = {}
+    for name, idx in [
+        ("body", indexers.body_index(pages)),
+        ("title", indexers.title_index(pages)),
+        ("url", indexers.url_index(pages)),
+        ("imagealt", indexers.imagealt_index(pages)),
+    ]:
+        for r in idx.collect():
+            union[(name, r.term)] = list(r.urls)
+    assert combined == union and len(combined) > 0
