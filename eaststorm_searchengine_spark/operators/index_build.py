@@ -621,3 +621,128 @@ def build_index_fast(
     }
     fsio.write_text(spark, paths.stats, json.dumps(stats, indent=2))
     return stats
+
+
+# ---- segment compaction / index merge -----------------------------------
+
+_POSTING_SCHEMA = (
+    "term string, doc_id long, tf int, positions array<int>, dl int, bucket int"
+)
+
+
+def segment_postings(seg: DataFrame) -> DataFrame:
+    """Decode segment block rows back into posting rows (term, doc_id,
+    tf, positions, dl, bucket) — the inverse of the encoders, used by
+    compaction.  Vectorized per block; doclen sentinel rows are
+    excluded (they are re-derived from the merged doclens table)."""
+    src = seg.filter(F.col("term") != DOCLEN_TERM).select(
+        "bucket", "term", "docs", "tfs", "dls", "pos"
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples():
+                d = codec.delta_decode(r.docs).astype(np.int64)
+                tf = codec.vb_decode(r.tfs).astype(np.int64)
+                dl = codec.vb_decode(r.dls).astype(np.int64)
+                pos = codec.decode_positions(r.pos, tf)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "term": r.term,
+                            "doc_id": d,
+                            "tf": tf.astype(np.int32),
+                            "positions": [list(map(int, p)) for p in pos],
+                            "dl": dl.astype(np.int32),
+                            "bucket": np.int32(r.bucket),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    return src.mapInPandas(decode, _POSTING_SCHEMA)
+
+
+def compact_index(
+    spark: SparkSession,
+    src_roots: list[str],
+    out_dir: str,
+    chunk_bits: int | None = None,
+) -> dict:
+    """Merge one or more segment stores into ONE canonical compacted
+    index — the north-star's "externally merged" step, Spark-first:
+    instead of a driver-side k-way file merge, the fragment rows are
+    decoded back to postings, re-chunked on the canonical doc-range key
+    (``chunk = doc_id >> chunk_bits``), and re-encoded through the SAME
+    salted (bucket, term, chunk) shuffle the term-partitioned builder
+    uses — one shuffle, term skew bounded by the chunk salt, arbitrary
+    input layout (streaming ``stream_batch=*`` appends, fast-path
+    per-batch fragments, or other compacted stores).
+
+    Use cases: collapsing a long-running incremental-ingest segment
+    store's accumulated micro-batch fragments (streaming/incremental.py
+    appends one fragment set per trigger — reads slow down as fragment
+    counts grow), and merging indexes built over disjoint corpus
+    partitions.  Sources MUST cover disjoint doc-id sets (the
+    incremental contract); overlapping ids would produce duplicate
+    postings.
+
+    Returns the new stats dict; the output serves the unchanged query
+    engine (equality with a from-scratch single build is pytest-gated,
+    tests/test_index.py)."""
+    t0 = time.time()
+    paths = IndexPaths(out_dir)
+    # per-root reads unioned: multiple partitioned roots in one
+    # read.parquet trip CONFLICTING_DIRECTORY_STRUCTURES
+    seg = None
+    for r in src_roots:
+        part = spark.read.parquet(IndexPaths(r).segments)
+        seg = part if seg is None else seg.unionByName(part)
+    n_docs_est = 0
+    stem = False
+    n_buckets = DEFAULT_BUCKETS
+    for r in src_roots:
+        st = json.loads(fsio.read_text(spark, IndexPaths(r).stats))
+        n_docs_est += int(st["n_docs"])
+        stem = bool(st.get("stem", False)) or stem
+        n_buckets = int(st.get("n_buckets", DEFAULT_BUCKETS))
+    if chunk_bits is None:
+        chunk_bits = adaptive_chunk_bits(
+            n_docs_est, spark.sparkContext.defaultParallelism
+        )
+    postings = segment_postings(seg).withColumn(
+        "chunk",
+        F.floor(F.col("doc_id") / F.lit(1 << chunk_bits)).cast("long"),
+    )
+    build_segments(postings).write.mode("overwrite").partitionBy("bucket").parquet(
+        paths.segments
+    )
+    dls = None
+    for r in src_roots:
+        part = spark.read.parquet(IndexPaths(r).doclens)
+        dls = part if dls is None else dls.unionByName(part)
+    dls.write.mode("overwrite").parquet(paths.doclens)
+    agg = spark.read.parquet(paths.doclens).agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.sum("dl").alias("total_tokens"),
+    ).collect()[0]
+    term_stats, _ = _finalize(spark, paths)
+    stats = {
+        "n_docs": int(agg["n_docs"]),
+        "avgdl": float(agg["avgdl"] or 0.0),
+        "total_tokens": int(agg["total_tokens"] or 0),
+        "n_terms": int(term_stats.count()),
+        "n_buckets": n_buckets,
+        "block": BLOCK,
+        "layout": "compacted",
+        "stem": stem,
+        "k1": sqltok.K1,
+        "b": sqltok.B,
+        "build_sec": time.time() - t0,
+        "sources": len(src_roots),
+    }
+    fsio.write_text(spark, paths.stats, json.dumps(stats, indent=2))
+    return stats

@@ -127,3 +127,59 @@ def test_fast_and_term_paths_serve_identical_results(spark):
         ra = [tuple(r) for r in BM25Index(spark, a).search(q, k=10, method=method).collect()]
         rb = [tuple(r) for r in BM25Index(spark, b).search(q, k=10, method=method).collect()]
         assert ra == rb, method
+
+
+def test_compact_index_merges_split_builds(spark, tmp_path):
+    """north_star "externally merged": two indexes built over disjoint
+    halves of the corpus, compacted into one, must serve IDENTICAL
+    top-k (ids and scores) to a from-scratch single build — and
+    compacting a single fragment-layout index must too (the streaming
+    micro-batch collapse case)."""
+    from pyspark.sql import functions as F
+
+    from eaststorm_searchengine_spark.operators.bm25 import BM25Index
+    from eaststorm_searchengine_spark.operators.index_build import (
+        build_index_fast,
+        compact_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    lo = docs.filter(F.col("doc_id") <= mid)
+    hi = docs.filter(F.col("doc_id") > mid)
+    d_full = str(tmp_path / "full")
+    d_lo, d_hi = str(tmp_path / "lo"), str(tmp_path / "hi")
+    d_merged = str(tmp_path / "merged")
+    d_rolled = str(tmp_path / "rolled")
+    build_index_fast(spark, docs, d_full)
+    build_index_fast(spark, lo, d_lo)
+    build_index_fast(spark, hi, d_hi)
+    st = compact_index(spark, [d_lo, d_hi], d_merged)
+    st2 = compact_index(spark, [d_full], d_rolled)
+
+    full = BM25Index(spark, d_full)
+    assert st["n_docs"] == full.n_docs and abs(st["avgdl"] - full.avgdl) < 1e-12
+    assert st2["n_docs"] == full.n_docs
+    Q = [(1, "data analysis"), (2, "research"), (3, "the"), (4, "zzzmissing")]
+    want = [
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in full.search(Q, k=10, score_round=6).collect()
+    ]
+    for d in (d_merged, d_rolled):
+        got = [
+            (r.query_id, r.rank, r.doc_id, r.score)
+            for r in BM25Index(spark, d).search(Q, k=10, score_round=6).collect()
+        ]
+        assert got == want and len(got) > 0, d
+    # phrase positions survive the decode→re-encode round trip
+    pw = [
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in full.phrase_search([(1, "data analysis")], k=10, score_round=6).collect()
+    ]
+    pg = [
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in BM25Index(spark, d_merged).phrase_search(
+            [(1, "data analysis")], k=10, score_round=6
+        ).collect()
+    ]
+    assert pg == pw
