@@ -149,3 +149,23 @@ def test_no_cartesian_in_any_contract_query(spark):
         if hits:
             bad[name] = hits
     assert not bad, bad
+
+
+def test_field_indexes_single_pass_one_shuffle(spark):
+    """The combined field-index builder must plan exactly ONE exchange
+    (the (field, term) aggregation) over one corpus scan — the whole
+    point vs unioning four per-field builders (four scans, four
+    shuffles)."""
+    from eaststorm_searchengine_spark import corpus as corpus_mod
+    from eaststorm_searchengine_spark.operators import indexers
+
+    import re
+
+    pages = corpus_mod.synthesize_pages(spark, SF)
+    plan = inspect.formatted_plan(indexers.field_indexes(pages))
+    # the corpus synthesis itself carries one RoundRobin repartition
+    # (the small-input _spread guard, a no-op at scale) — the gate is
+    # on HASH exchanges: exactly one, keyed (field, term)
+    hash_ex = sorted(set(re.findall(r"hashpartitioning\([^)]*\)", plan)))
+    assert len(hash_ex) == 1, f"hash exchanges {hash_ex}:\n{plan[:2000]}"
+    assert "field" in hash_ex[0] and "term" in hash_ex[0]
