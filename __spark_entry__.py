@@ -737,9 +737,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "pagerank_hosts": q_pagerank,
         "composite_search": q_composite_search,
-        # non-SQL ops (rows-only; pytest/golden-oracled)
         "simhash_near_dups": q_simhash_near_dups,
         "minhash_groups": q_minhash_groups,
+        # non-SQL ops (rows-only; pytest/golden-oracled)
         "fingerprints": q_fingerprints,
         "ann_approx": q_ann_approx,
         "media_features": q_media_features,
@@ -792,7 +792,8 @@ def _oracle_aux_paths(sf_dir: str = _ORACLE_SF) -> dict:
     paths = {
         name: os.path.join(aux, f"{name}.parquet")
         for name in ("stem_map", "pages_meta", "field_terms", "anchor_meta",
-                     "link_edges", "pagerank_report", "composite_topk")
+                     "link_edges", "pagerank_report", "composite_topk",
+                     "doc_hashes")
     }
     meta_path = os.path.join(aux, "meta.json")
     if all(os.path.exists(p) for p in paths.values()) and os.path.exists(meta_path):
@@ -910,6 +911,31 @@ def _oracle_aux_paths(sf_dir: str = _ORACLE_SF) -> dict:
             "rank": [report[h] for h in hosts_sorted],
         }),
         paths["pagerank_report"],
+    )
+    # per-doc hash kernels over the RAW documents text (the dedup
+    # queries' input): only the kernels are shared — the oracles'
+    # all-pairs hamming join / banding-by-slice-equality + recursive-CTE
+    # components are fully independent SQL (see oracle_sql)
+    from eaststorm_searchengine_spark.operators import dedup as dedup_mod
+
+    shift = 1 << 63
+    doc_ids = [int(r["doc_id"]) for r in docs]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "simhash": pa.array(
+                [dedup_mod.simhash64(r["text"] or "") - shift for r in docs],
+                type=pa.int64(),
+            ),
+            "sig": pa.array(
+                [
+                    [v - shift for v in dedup_mod.minhash_signature(r["text"] or "")]
+                    for r in docs
+                ],
+                type=pa.list_(pa.int64()),
+            ),
+        }),
+        paths["doc_hashes"],
     )
     comp = _python_composite_topk(
         comp_title_idx, comp_url_idx, titles_nonblank, _python_pagerank_ranks(pr_adj)
@@ -1497,6 +1523,50 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, rank, url, score, title
         FROM read_parquet('{aux["composite_topk"]}') WHERE {guard}
         ORDER BY query_id, rank
+    """
+    # only the simhash KERNEL is aux-materialized; the all-pairs
+    # hamming join is independent SQL — it verifies the engine's
+    # Manku-Jain-Sarma bit-block blocking + verify pipeline is COMPLETE
+    # (a blocking bug shows as missing rows here)
+    out["simhash_near_dups"] = f"""
+        WITH s AS (SELECT doc_id, simhash
+                   FROM read_parquet('{aux["doc_hashes"]}') WHERE {guard})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY doc_a, doc_b
+    """
+    # banding by raw slice EQUALITY (no band hash — Spark's xxhash64
+    # bucketing collides only where slices are equal, modulo a 2^-64
+    # hash collision) + recursive-CTE components: independently checks
+    # LSH banding, pair generation, and the CC loop end-to-end; the
+    # star cap is groups-invariant, so the oracle holds capped or not
+    rpb = dedup.N_HASHES // dedup.N_BANDS
+    out["minhash_groups"] = f"""
+        WITH RECURSIVE
+        s AS (SELECT doc_id, sig
+              FROM read_parquet('{aux["doc_hashes"]}') WHERE {guard}),
+        b AS (SELECT doc_id, band,
+                     array_to_string(sig[band*{rpb}+1 : band*{rpb}+{rpb}], ',') AS key
+              FROM s, range(0, {dedup.N_BANDS}) t(band)),
+        j AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM b x JOIN b y
+                ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+              GROUP BY 1, 2),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM j
+              UNION SELECT doc_b, doc_a FROM j),
+        reach(node, lab) AS (
+          SELECT src, src FROM e
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node
+        ),
+        comp AS (SELECT node, min(lab) AS group_id FROM reach GROUP BY node),
+        sizes AS (SELECT group_id, count(*)::BIGINT AS n_docs
+                  FROM comp GROUP BY group_id)
+        SELECT c.node AS doc_id, c.group_id, s2.n_docs
+        FROM comp c JOIN sizes s2 USING (group_id)
+        ORDER BY group_id, doc_id
     """
     # independent BFS over the aux link graph: min first-reach depth
     # via a recursive CTE, depth-bounded exactly like the engine's

@@ -68,8 +68,6 @@ def test_oracle_match(spark, ddb, name):
 
 # expected minimum row counts for the rows-only queries at sf0.01
 _MIN_ROWS = {
-    "minhash_groups": 0,
-    "simhash_near_dups": 5,
     "fingerprints": 500,
     "ann_approx": 2,
     "media_features": 500,
