@@ -153,6 +153,13 @@ class BM25Index:
         shared tokenizer; duplicate query terms are deduped (BM25 sums
         distinct terms, matching the DuckDB oracle).
 
+        ``method``: ``"exhaustive"`` (vectorized term-at-a-time),
+        ``"wand"`` (block-max document-at-a-time), or ``"auto"`` —
+        per-query cost-based choice from the broadcast df stats (WAND
+        when a selective term exists to make blocks skippable,
+        exhaustive for dense-only queries).  All three return identical
+        results (executor equality is bitwise-tested).
+
         Plan: segment scan (bucket directory pruning from the
         python-computable term hash + term predicate pushdown) ⋈
         broadcast term_stats (per-term df → idf computed executor-side)
@@ -208,7 +215,20 @@ class BM25Index:
                 present = [t for t in terms if t in by_term]
                 if not present:
                     continue
-                fn = wand_topk if method == "wand" else _exhaustive_topk
+                if method == "auto":
+                    # per-query cost-based choice: block-max WAND pays
+                    # only when a selective term exists to tighten the
+                    # threshold (skippable blocks); dense-only queries
+                    # (every term matches ≥10% of docs — this corpus's
+                    # worst case) decode everything anyway, where the
+                    # vectorized term-at-a-time executor wins.  Both
+                    # executors are bitwise-identical (pytest), so this
+                    # is purely a cost decision.
+                    min_df = min(int(by_term[t]["df"].iloc[0]) for t in present)
+                    use_wand = len(present) >= 2 and min_df * 10 <= n_docs
+                else:
+                    use_wand = method == "wand"
+                fn = wand_topk if use_wand else _exhaustive_topk
                 docs_a, scores_a = fn(
                     [by_term[t] for t in present],
                     [idf[t] for t in present],

@@ -202,3 +202,35 @@ def test_live_handle_survives_index_rebuild(spark, tmp_path):
     build_index_fast(spark, docs_b, root)
     got_b = {r.doc_id for r in idx.search([(1, "alpha")], k=10).collect()}
     assert got_b == {7}, f"stale handle: {got_b}"
+
+
+def test_auto_method_matches_both_executors(idx):
+    """method="auto" (per-query cost-based executor choice) must return
+    exactly what the fixed executors return, on queries that exercise
+    both branches (dense-only → exhaustive; rare+dense → wand)."""
+    q = [(1, "join"), (2, "the data"), (3, "hash join merge"), (4, "zzzmissing")]
+    out = {}
+    for m in ("exhaustive", "wand", "auto"):
+        out[m] = [tuple(r) for r in idx.search(q, k=10, score_round=6).collect()] if m == "exhaustive" else [
+            tuple(r) for r in idx.search(q, k=10, method=m, score_round=6).collect()
+        ]
+    assert out["auto"] == out["exhaustive"] == out["wand"]
+    assert len(out["auto"]) > 0
+
+
+def test_auto_method_on_rare_term_corpus(spark, tmp_path):
+    """A corpus with a genuinely rare term (df*10 <= n_docs) drives the
+    auto heuristic down the WAND branch; results must still equal the
+    exhaustive executor."""
+    docs = spark.createDataFrame(
+        [(i, "common words everywhere " + ("rareterm special" if i == 7 else "filler text"))
+         for i in range(200)],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "rare_idx")
+    build_index_fast(spark, docs, root)
+    idx = BM25Index(spark, root)
+    q = [(1, "rareterm common"), (2, "filler common")]
+    a = [tuple(r) for r in idx.search(q, k=10, method="auto", score_round=6).collect()]
+    e = [tuple(r) for r in idx.search(q, k=10, score_round=6).collect()]
+    assert a == e and len(a) > 0

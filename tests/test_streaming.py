@@ -63,3 +63,24 @@ def test_streaming_replay_is_idempotent(spark):
         for r in BM25Index(spark, f"{TMP}/idx").search([(1, "join")], k=5).collect()
     ]
     assert before == after
+
+
+def test_compact_streaming_store_equals_batch(spark):
+    """Compacting an incrementally-ingested store (per-micro-batch
+    ``stream_batch=*`` fragment layout) must produce a canonical index
+    serving identical top-k to the batch build — the maintenance loop:
+    ingest → compact → serve."""
+    from eaststorm_searchengine_spark.operators.index_build import compact_index
+
+    stats = compact_index(spark, [f"{TMP}/idx"], f"{TMP}/compacted")
+    assert stats["n_docs"] == 500 and stats["layout"] == "compacted"
+    q = [(1, "join"), (2, "hash window"), (3, "the a"), (4, "dup")]
+    got = [
+        tuple(r)
+        for r in BM25Index(spark, f"{TMP}/compacted").search(q, k=10, score_round=4).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in BM25Index(spark, f"{TMP}/batch_idx").search(q, k=10, score_round=4).collect()
+    ]
+    assert got == want and len(got) > 0
