@@ -36,6 +36,40 @@ def _cosine(vec_col, qcol):
     return dot / F.when(den != 0.0, den)
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared ANN rank tail: (query_id, vec_id, cosine) → global top-k
+    per query, TakeOrdered-shaped.  Every partition first keeps its
+    LOCAL per-query top-k (mapInPandas, no shuffle — any global top-k
+    row is necessarily in its partition's top-k under the same total
+    order), so the global rank window sees ≤ k × n_partitions rows per
+    query instead of the full scored set; the per-query single-reducer
+    sort stops scaling with the corpus.  Tie-break everywhere: cosine
+    desc, vec_id asc."""
+    scored = scored.filter(F.col("cosine").isNotNull())
+    schema = scored.schema
+
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(["query_id", "cosine", "vec_id"],
+                                    ascending=[True, False, True])
+                    .groupby("query_id", sort=False)
+                    .head(k)
+                )
+            else:
+                yield pdf
+
+    pruned = scored.mapInPandas(local_topk, schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_vectors: list[tuple[int, list[float]]],
@@ -65,14 +99,7 @@ def cosine_topk(
             F.round(_cosine(F.col("vec"), F.col("qvec")), score_round).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.filter(F.col("cosine").isNotNull())
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "cosine")
-        .orderBy("query_id", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
@@ -189,14 +216,7 @@ def lsh_cosine_topk(
             F.round(_cosine(F.col("vec"), F.col("qvec")), score_round).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.filter(F.col("cosine").isNotNull())
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "cosine")
-        .orderBy("query_id", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def cosine_near_dup_pairs(
@@ -577,14 +597,7 @@ class IVFIndex:
             "vec_id",
             F.round(_cosine(F.col("vec"), F.col("qvec")), score_round).alias("cosine"),
         )
-        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-        return (
-            scored.filter(F.col("cosine").isNotNull())
-            .withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "rank", "vec_id", "cosine")
-            .orderBy("query_id", "rank")
-        )
+        return _rank_topk(scored, k)
 
 
 def ivf_cosine_topk(
