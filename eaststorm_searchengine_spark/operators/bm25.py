@@ -490,9 +490,27 @@ def bm25_score_dataframe(
         .groupBy("query_id", "doc_id")
         .agg(F.sum("contrib").alias("score"))
     )
+
+    # TakeOrdered shape: per-partition per-query top-k prune before the
+    # global rank window (any global top-k row is in its partition's
+    # top-k under the same total order) — the window then ranks
+    # ≤ k × n_partitions rows per query, not every matching doc
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(["query_id", "score", "doc_id"],
+                                    ascending=[True, False, True])
+                    .groupby("query_id", sort=False)
+                    .head(k)
+                )
+            else:
+                yield pdf
+
+    pruned = scored.mapInPandas(local_topk, scored.schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     ranked = (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        pruned.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
         .orderBy("query_id", "rank")
