@@ -701,13 +701,27 @@ def compact_index(
         part = spark.read.parquet(IndexPaths(r).segments)
         seg = part if seg is None else seg.unionByName(part)
     n_docs_est = 0
-    stem = False
-    n_buckets = DEFAULT_BUCKETS
+    stems: set[bool] = set()
+    bucket_counts: set[int] = set()
     for r in src_roots:
         st = json.loads(fsio.read_text(spark, IndexPaths(r).stats))
         n_docs_est += int(st["n_docs"])
-        stem = bool(st.get("stem", False)) or stem
-        n_buckets = int(st.get("n_buckets", DEFAULT_BUCKETS))
+        stems.add(bool(st.get("stem", False)))
+        bucket_counts.add(int(st.get("n_buckets", DEFAULT_BUCKETS)))
+    # merging indexes with different analyzers or bucket layouts would
+    # silently mix incompatible vocabularies / break query-side bucket
+    # pruning — refuse loudly
+    if len(stems) > 1:
+        raise ValueError(
+            f"compact_index: sources mix stemmed and unstemmed analyzers: {src_roots}"
+        )
+    if len(bucket_counts) > 1:
+        raise ValueError(
+            f"compact_index: sources have different n_buckets {sorted(bucket_counts)}: "
+            f"{src_roots}"
+        )
+    stem = stems.pop()
+    n_buckets = bucket_counts.pop()
     if chunk_bits is None:
         chunk_bits = adaptive_chunk_bits(
             n_docs_est, spark.sparkContext.defaultParallelism

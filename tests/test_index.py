@@ -183,3 +183,23 @@ def test_compact_index_merges_split_builds(spark, tmp_path):
         ).collect()
     ]
     assert pg == pw
+
+
+def test_compact_index_refuses_mixed_analyzers(spark, tmp_path):
+    """Merging stemmed and unstemmed indexes would silently mix
+    incompatible vocabularies — compact_index must refuse loudly."""
+    import pytest as _pytest
+
+    from eaststorm_searchengine_spark.operators.index_build import (
+        build_index_fast,
+        compact_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "running quickly"), (2, "run quick")], "doc_id long, text string"
+    )
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index_fast(spark, docs.filter("doc_id = 1"), a)
+    build_index_fast(spark, docs.filter("doc_id = 2"), b, stem=True)
+    with _pytest.raises(ValueError, match="stemmed"):
+        compact_index(spark, [a, b], str(tmp_path / "out"))
