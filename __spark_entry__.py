@@ -601,13 +601,23 @@ def q_media_features(spark, sf_dir):
 
 def q_simhash_near_dups(spark, sf_dir):
     """Complete simhash near-dup pairs (Manku-Jain-Sarma bit-block
-    blocking + exact hamming verify).  Rows-only: the FNV-based
-    simhash isn't SQL-expressible; completeness is pytest-checked
-    against a brute-force oracle (tests/test_dedup.py), which also
-    covers the intermediate ``simhash_buckets`` stage this pipeline
-    runs (a registry entry of its own through r3; folded here to keep
-    the contract within the driver's verification window)."""
-    return dedup.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
+    blocking + exact hamming verify).  Oracle-checked (r4): only the
+    per-doc simhash kernel is aux-materialized; the oracle's all-pairs
+    hamming join is independent SQL.  That oracle asserts COMPLETE
+    pair output, which holds exactly while no bit-block exceeds the
+    star cap — asserted here via the operator's cap metric so a
+    hypothetical over-cap corpus fails LOUDLY at the query instead of
+    surfacing as a confusing hash mismatch (code-review r04; the
+    grouping-style queries are cap-invariant, pair output is not).
+    The intermediate ``simhash_buckets`` stage stays pytest-covered
+    (its own registry entry through r3, folded for window room)."""
+    m: dict = {}
+    out = dedup.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3, metrics=m)
+    assert m["overcap_buckets"] == 0, (
+        f"{m['overcap_buckets']} simhash blocks exceed the star cap — the "
+        "complete-pairs oracle premise does not hold for this corpus"
+    )
+    return out
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -671,9 +681,14 @@ _IVF_CACHE: dict[str, similarity.IVFIndex] = {}
 def _ivf_for(sf_dir: str, emb: DataFrame) -> similarity.IVFIndex:
     """Build-once cache of the IVF index per scale factor (VERDICT r03
     #2 — the fit+assignment chain runs once per session, repeat queries
-    pay only the probe join)."""
-    if sf_dir not in _IVF_CACHE:
-        _IVF_CACHE[sf_dir] = similarity.IVFIndex(emb)
+    pay only the probe join).  The cached handle's persisted assignment
+    is bound to a SparkSession; if the harness stopped that session and
+    created a new one, the stale handle would fail — rebuild instead
+    (code-review r04)."""
+    cached = _IVF_CACHE.get(sf_dir)
+    if cached is not None and cached.spark is emb.sparkSession:
+        return cached
+    _IVF_CACHE[sf_dir] = similarity.IVFIndex(emb)
     return _IVF_CACHE[sf_dir]
 
 
@@ -903,7 +918,8 @@ def _oracle_aux_paths(sf_dir: str = _ORACLE_SF) -> dict:
         }),
         paths["link_edges"],
     )
-    report = _python_pagerank_report(pr_adj)
+    pr_ranks = _python_pagerank_ranks(pr_adj)
+    report = _python_pagerank_report_from_ranks(pr_ranks)
     hosts_sorted = sorted(report, key=lambda h: (-report[h], h))
     pq.write_table(
         pa.table({
@@ -938,7 +954,7 @@ def _oracle_aux_paths(sf_dir: str = _ORACLE_SF) -> dict:
         paths["doc_hashes"],
     )
     comp = _python_composite_topk(
-        comp_title_idx, comp_url_idx, titles_nonblank, _python_pagerank_ranks(pr_adj)
+        comp_title_idx, comp_url_idx, titles_nonblank, pr_ranks
     )
     pq.write_table(
         pa.table({
@@ -1003,23 +1019,27 @@ def _python_pagerank_ranks(adj: dict[str, set[str]]) -> dict[str, float]:
             h: _r8((1 - pr.DECAY) / n + pr.DECAY * (inc + dc))
             for h, inc in incoming.items()
         }
-        if it > 0:
-            diff = sum(
-                abs(new_ranks[h] - ranks[h]) for h in ranks if h in new_ranks
-            )
-            if diff < pr.CONVERGENCE_THRESHOLD * n:
-                return new_ranks
+        # convergence on EVERY delta including the first (the engine
+        # checks diff(r1, r0) at its loop top before the second update
+        # — a guard of `it > 0` here would return r2 where the engine
+        # returns r1 on first-delta convergence; code-review r04)
+        diff = sum(
+            abs(new_ranks[h] - ranks[h]) for h in ranks if h in new_ranks
+        )
+        if diff < pr.CONVERGENCE_THRESHOLD * n:
+            return new_ranks
         ranks = new_ranks
     return ranks
 
 
-def _python_pagerank_report(adj: dict[str, set[str]]) -> dict[str, float]:
+def _python_pagerank_report_from_ranks(ranks: dict[str, float]) -> dict[str, float]:
     """Final report over the fixpoint ranks: social ×0.10, wiki-family
     merge (PageRank.java:243-277), 8-decimal HALF_UP at the contract
-    boundary (matching q_pagerank's round)."""
+    boundary (matching q_pagerank's round).  Takes the ranks so the
+    aux builder runs the power iteration ONCE for both this report and
+    the composite oracle (code-review r04)."""
     from eaststorm_searchengine_spark.operators import pagerank as pr
 
-    ranks = _python_pagerank_ranks(adj)
     social = set(pr.SOCIAL_MEDIA)
     report: dict[str, float] = {}
     wiki_sum = 0.0

@@ -273,3 +273,20 @@ def field_terms_udf(html: pd.Series, url: pd.Series, text: pd.Series) -> pd.Seri
     return pd.Series(
         [_field_terms_row(h, u, t) for h, u, t in zip(_as_str(html), url, text)]
     )
+
+
+@pandas_udf(ArrayType(StringType()))
+def link_hosts_udf(links: pd.Series) -> pd.Series:
+    """Per-link-array host extraction with the SAME URI.getHost-parity
+    parser the page's own host uses (textproc.extract_host) — the
+    PageRank adjacency must not mix two host grammars (code-review r04:
+    F.parse_url keeps e.g. underscore reg-names that URI.getHost
+    rejects, silently changing out-degrees).  Null/empty hosts are
+    dropped here."""
+    return links.map(
+        lambda arr: [
+            h
+            for h in (textproc.extract_host(u) for u in (arr or []))
+            if h
+        ]
+    )

@@ -495,19 +495,9 @@ def bm25_score_dataframe(
     # global rank window (any global top-k row is in its partition's
     # top-k under the same total order) — the window then ranks
     # ≤ k × n_partitions rows per query, not every matching doc
-    def local_topk(batches):
-        for pdf in batches:
-            if len(pdf):
-                yield (
-                    pdf.sort_values(["query_id", "score", "doc_id"],
-                                    ascending=[True, False, True])
-                    .groupby("query_id", sort=False)
-                    .head(k)
-                )
-            else:
-                yield pdf
+    from ..functions.topk import local_group_topk
 
-    pruned = scored.mapInPandas(local_topk, scored.schema)
+    pruned = local_group_topk(scored, "query_id", ["score", "doc_id"], [False, True], k)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     ranked = (
         pruned.withColumn("rank", F.row_number().over(w).cast("long"))

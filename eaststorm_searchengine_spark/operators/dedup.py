@@ -98,9 +98,12 @@ def star_capped_pairs(
     rather than connected components (the grouping pipelines are
     unaffected — star edges keep every bucket connected).  Pass
     ``metrics={}`` to have ``metrics["overcap_buckets"]`` filled with
-    the number of buckets where capping actually engaged (one extra
-    small count job, off by default); a nonzero value means the pair
-    output is star-bounded, not complete."""
+    the number of buckets where capping actually engaged; a nonzero
+    value means the pair output is star-bounded, not complete.  COST
+    NOTE (code-review r04): the count is a separate job that re-runs
+    ``df``'s lineage (including any upstream signature UDFs) — a
+    diagnostic, not a free byproduct; persist/stage ``df`` first if
+    its recompute is expensive."""
     from pyspark.sql import Window
 
     if metrics is not None:

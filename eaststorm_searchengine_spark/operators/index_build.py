@@ -695,10 +695,14 @@ def compact_index(
     t0 = time.time()
     paths = IndexPaths(out_dir)
     # per-root reads unioned: multiple partitioned roots in one
-    # read.parquet trip CONFLICTING_DIRECTORY_STRUCTURES
+    # read.parquet trip CONFLICTING_DIRECTORY_STRUCTURES.  Project to
+    # SEGMENT_COLS per root BEFORE the union — a streaming store
+    # carries an extra stream_batch partition column that would
+    # otherwise fail unionByName against a plain store (code-review
+    # r04: 'arbitrary input layout' must include mixing them)
     seg = None
     for r in src_roots:
-        part = spark.read.parquet(IndexPaths(r).segments)
+        part = spark.read.parquet(IndexPaths(r).segments).select(*SEGMENT_COLS)
         seg = part if seg is None else seg.unionByName(part)
     n_docs_est = 0
     stems: set[bool] = set()

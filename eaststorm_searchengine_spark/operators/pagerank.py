@@ -56,19 +56,22 @@ def build_host_graph(pages: DataFrame) -> DataFrame:
     """pages → adjacency (host, dsts array<string>).  Reference:
     ``PageRank.java:46-99``: per page, the set of target hosts; per
     host, the union over its pages.  Self-loops are kept (the reference
-    keeps them).  Canonical order: sorted dsts."""
+    keeps them).  Canonical order: sorted dsts.
+
+    Source AND target hosts come from the same URI.getHost-parity
+    parser (``extract_host`` via ``host_udf`` / ``link_hosts_udf``) —
+    an earlier version parsed targets with ``F.parse_url(.., 'HOST')``,
+    which accepts reg-names URI.getHost rejects (e.g. underscores),
+    silently changing out-degrees vs the reference (code-review r04)."""
+    from ..functions.udfs import link_hosts_udf
+
     per_page = pages.select(
         host_udf("url").alias("host"),
         pagerank_links_udf("html", "url").alias("links"),
     ).filter(F.col("host").isNotNull())
     link_hosts = per_page.select(
         "host",
-        F.array_distinct(
-            F.filter(
-                F.transform(F.col("links"), lambda u: F.lower(F.parse_url(u, F.lit("HOST")))),
-                lambda h: h.isNotNull() & (h != ""),
-            )
-        ).alias("dsts"),
+        F.array_distinct(link_hosts_udf("links")).alias("dsts"),
     )
     return link_hosts.groupBy("host").agg(
         F.array_sort(F.array_distinct(F.flatten(F.collect_list("dsts")))).alias("dsts")

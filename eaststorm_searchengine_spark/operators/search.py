@@ -103,23 +103,11 @@ def composite_search(
     # sees ≤ 60 × n_partitions candidate rows per query instead of the
     # full scored set — the per-query single-reducer sort stops scaling
     # with the corpus (same pattern as the BM25 chunk top-k)
-    lim = limit_intermediate
+    from ..functions.topk import local_group_topk
 
-    def local_topk(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if len(pdf):
-                yield (
-                    pdf.sort_values(["query_id", "score", "url"],
-                                    ascending=[True, False, True])
-                    .groupby("query_id", sort=False)
-                    .head(lim)
-                )
-            else:
-                yield pdf
-
-    pruned = scored.mapInPandas(local_topk, scored.schema)
+    pruned = local_group_topk(
+        scored, "query_id", ["score", "url"], [False, True], limit_intermediate
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("url"))
     top60 = pruned.withColumn("r0", F.row_number().over(w)).filter(
         F.col("r0") <= limit_intermediate

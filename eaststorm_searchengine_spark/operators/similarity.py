@@ -45,22 +45,10 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     query instead of the full scored set; the per-query single-reducer
     sort stops scaling with the corpus.  Tie-break everywhere: cosine
     desc, vec_id asc."""
+    from ..functions.topk import local_group_topk
+
     scored = scored.filter(F.col("cosine").isNotNull())
-    schema = scored.schema
-
-    def local_topk(batches):
-        for pdf in batches:
-            if len(pdf):
-                yield (
-                    pdf.sort_values(["query_id", "cosine", "vec_id"],
-                                    ascending=[True, False, True])
-                    .groupby("query_id", sort=False)
-                    .head(k)
-                )
-            else:
-                yield pdf
-
-    pruned = scored.mapInPandas(local_topk, schema)
+    pruned = local_group_topk(scored, "query_id", ["cosine", "vec_id"], [False, True], k)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         pruned.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -135,11 +135,14 @@ def _python_pagerank(page_rows):
             for h, inc in incoming.items()
         }
         # reference convergence: consecutive iterations (the transition
-        # just computed), returning the NEW ranks (PageRank.java:213-236)
-        if it > 0:
-            diff = sum(abs(new_ranks[h] - ranks[h]) for h in ranks if h in new_ranks)
-            if diff < pagerank.CONVERGENCE_THRESHOLD * n:
-                return new_ranks
+        # just computed), returning the NEW ranks (PageRank.java:213-236).
+        # Checked on EVERY delta including the first — the engine tests
+        # diff(r1, r0) before its second update, so guarding with
+        # `it > 0` here would diverge on first-delta convergence
+        # (code-review r04 off-by-one)
+        diff = sum(abs(new_ranks[h] - ranks[h]) for h in ranks if h in new_ranks)
+        if diff < pagerank.CONVERGENCE_THRESHOLD * n:
+            return new_ranks
         ranks = new_ranks
     return ranks
 

@@ -84,3 +84,49 @@ def test_compact_streaming_store_equals_batch(spark):
         for r in BM25Index(spark, f"{TMP}/batch_idx").search(q, k=10, score_round=4).collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_compact_mixed_streaming_and_batch_layouts(spark):
+    """Mixing a streaming store (extra stream_batch partition column)
+    with a plain fragment store in ONE compaction must work — the
+    column sets are normalized per root before the union (code-review
+    r04: this documented use case previously threw on unionByName).
+    Each source holds a DISJOINT half of the corpus, built through a
+    different ingestion path; the merge must equal the full batch
+    build."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as _F
+
+    from eaststorm_searchengine_spark.operators.index_build import compact_index
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    _sh.rmtree(f"{TMP}/half_in", ignore_errors=True)
+    _sh.rmtree(f"{TMP}/half_idx", ignore_errors=True)
+    _sh.rmtree(f"{TMP}/half_ckpt", ignore_errors=True)
+    docs.filter(_F.col("doc_id") < 250).write.mode("overwrite").parquet(f"{TMP}/half_in")
+    incremental.start_incremental_index(
+        spark,
+        input_dir=f"{TMP}/half_in",
+        index_dir=f"{TMP}/half_idx",
+        checkpoint_dir=f"{TMP}/half_ckpt",
+        schema="doc_id long, text string",
+    )
+    incremental.refresh_metadata(spark, f"{TMP}/half_idx")
+    build_index_fast(
+        spark, docs.filter(_F.col("doc_id") >= 250), f"{TMP}/other_half_idx"
+    )
+    stats = compact_index(
+        spark, [f"{TMP}/half_idx", f"{TMP}/other_half_idx"], f"{TMP}/mixed_compacted"
+    )
+    assert stats["n_docs"] == 500
+    q = [(1, "join"), (2, "hash window"), (3, "dup")]
+    got = [
+        tuple(r)
+        for r in BM25Index(spark, f"{TMP}/mixed_compacted").search(q, k=10, score_round=4).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in BM25Index(spark, f"{TMP}/batch_idx").search(q, k=10, score_round=4).collect()
+    ]
+    assert got == want and len(got) > 0
