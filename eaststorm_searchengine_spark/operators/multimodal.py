@@ -18,13 +18,16 @@ are implemented from the public format specs directly:
 * BMP (uncompressed 24-bit BITMAPINFOHEADER): bottom-up rows, 4-byte
   row padding.
 * WAV (PCM 8/16-bit) via the stdlib ``wave`` module.
+* YUV4MPEG2 (y4m) video: text stream header + raw planes per the
+  public spec (mono and 4:2:0 variants; Y plane returned) — backs the
+  frame-sampling stage.
 * ``FAKEIMG1``/``FAKEAUD1``: the deterministic synthetic containers
   (kept for cheap high-volume fixtures).
 
-Compressed formats needing codecs outside the stdlib (JPEG, MP3, video)
-raise ``NotImplementedError`` naming the dependency — the dispatch,
-schema, Arrow batch shape and partition sizing are identical, so adding
-them is one decoder function.
+Compressed formats needing codecs outside the stdlib (JPEG, MP3,
+MP4/H.264, WebM) raise ``NotImplementedError`` naming the dependency —
+the dispatch, schema, Arrow batch shape and partition sizing are
+identical, so adding them is one decoder function.
 
 Synthetic container format (deterministic, self-describing):
   b"FAKEIMG1" | width:uint16 | height:uint16 | payload  (images)
@@ -127,6 +130,27 @@ def synth_fake_audio(doc_id: int) -> tuple[bytes, dict]:
     return content, meta
 
 
+def synth_y4m(doc_id: int) -> tuple[bytes, dict]:
+    """Deterministic REAL video blob: YUV4MPEG2 (y4m) is a public
+    plain-header + raw-frames format the stdlib can parse — the same
+    real-format policy as PNG/WAV.  Mono colourspace (Y plane only),
+    small frames, frame count varying per doc."""
+    w, h = 16 + (doc_id % 3) * 8, 8 + (doc_id % 2) * 8
+    fps = 10
+    n_frames = 4 + (doc_id % 5)
+    frames = [
+        _pixels_for(doc_id * 1000 + i, w, h, 1)[:, :, 0] for i in range(n_frames)
+    ]
+    content = y4m_encode(frames, fps=fps)
+    return content, {
+        "mime": "video/x-yuv4mpeg",
+        "width": w,
+        "height": h,
+        "duration_ms": int(n_frames * 1000 / fps),
+        "sample_rate": None,
+    }
+
+
 # back-compat aliases (round-1 API)
 synth_image = synth_fake_image
 synth_audio = synth_fake_audio
@@ -143,7 +167,10 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                if did % 2 == 0:
+                if did % 7 == 3:
+                    content, meta = synth_y4m(did)
+                    kind = "video"
+                elif did % 2 == 0:
                     maker = (synth_png, synth_pgm, synth_bmp, synth_fake_image)[
                         (did // 2) % 4
                     ]
@@ -354,6 +381,76 @@ def decode_image(content: bytes) -> np.ndarray:
     raise ValueError(f"unrecognized image container: {content[:8]!r}")
 
 
+def y4m_encode(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Minimal YUV4MPEG2 writer (public spec): text stream header with
+    W/H/F/interlace/aspect/colourspace tokens, then ``FRAME\\n`` + raw
+    planes per frame.  ``Cmono`` = Y plane only (8-bit grayscale)."""
+    h, w = frames[0].shape
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 Cmono\n".encode()]
+    for fr in frames:
+        assert fr.shape == (h, w)
+        out.append(b"FRAME\n")
+        out.append(fr.astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+def decode_video(content: bytes) -> tuple[float, np.ndarray]:
+    """bytes → (fps, frames [n, h, w] float32 in [0, 1]).  REAL parser
+    for YUV4MPEG2 (mono and 4:2:0 — the Y plane is returned either
+    way); compressed containers (MP4/WebM/Matroska) raise
+    NotImplementedError naming the codec dependency."""
+    if content.startswith(b"YUV4MPEG2"):
+        nl = content.index(b"\n")
+        header = content[:nl].decode("ascii", errors="replace").split(" ")
+        w = h = None
+        fps = 25.0
+        cspace = "420jpeg"  # the spec's default when C is absent
+        for tok in header[1:]:
+            if not tok:
+                continue
+            if tok[0] == "W":
+                w = int(tok[1:])
+            elif tok[0] == "H":
+                h = int(tok[1:])
+            elif tok[0] == "F":
+                num, den = tok[1:].split(":")
+                fps = float(num) / float(den)
+            elif tok[0] == "C":
+                cspace = tok[1:]
+        if not w or not h:
+            raise ValueError("y4m header missing W/H")
+        if cspace.startswith("mono"):
+            frame_bytes = w * h
+        elif cspace.startswith("420"):
+            frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+        elif cspace.startswith("444"):
+            frame_bytes = 3 * w * h
+        elif cspace.startswith("422"):
+            frame_bytes = w * h + 2 * ((w // 2) * h)
+        else:
+            raise NotImplementedError(f"y4m colourspace C{cspace}")
+        frames = []
+        pos = nl + 1
+        marker = b"FRAME"
+        while pos < len(content):
+            if content[pos : pos + 5] != marker:
+                raise ValueError(f"bad FRAME marker at {pos}")
+            pos = content.index(b"\n", pos) + 1  # frame params ignored
+            y = np.frombuffer(content, dtype=np.uint8, count=w * h, offset=pos)
+            frames.append((y.astype(np.float32) / 255.0).reshape(h, w))
+            pos += frame_bytes
+        return fps, np.stack(frames) if frames else np.empty((0, h, w), np.float32)
+    if len(content) >= 12 and content[4:8] == b"ftyp":
+        raise NotImplementedError(
+            "MP4/H.264 decode requires a video codec library (e.g. ffmpeg/PyAV)"
+        )
+    if content[:4] == b"\x1a\x45\xdf\xa3":
+        raise NotImplementedError(
+            "Matroska/WebM decode requires a video codec library (e.g. ffmpeg/PyAV)"
+        )
+    raise ValueError(f"unrecognized video container: {content[:9]!r}")
+
+
 def decode_audio(content: bytes) -> tuple[int, np.ndarray]:
     """bytes → (sample_rate, float32 samples in [-1, 1])."""
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
@@ -400,6 +497,9 @@ def media_features(media: DataFrame) -> DataFrame:
             for content, kind in zip(pdf["content"], pdf["kind"]):
                 if kind == "image":
                     arr = decode_image(bytes(content)).ravel()
+                elif kind == "video":
+                    _, frames = decode_video(bytes(content))
+                    arr = frames.ravel()
                 else:
                     _, arr = decode_audio(bytes(content))
                 pooled = np.resize(arr, (FEATURE_DIM, max(arr.size // FEATURE_DIM, 1))).mean(axis=1)
@@ -433,4 +533,42 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
     return media.filter(F.col("kind") == "image").mapInPandas(
         rs, "doc_id long, width int, height int, pixels array<double>"
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video frame sampling — the standard training-data op (keep every
+    ``every_n``-th frame): decode → select frames 0, n, 2n, … → one row
+    per kept frame with its index, presentation timestamp, and the
+    pooled feature vector (same ``FEATURE_DIM`` pooling the other
+    modalities use).  Vectorized over Arrow batches; rows without
+    decodable video (wrong kind) are filtered before the UDF so the
+    scan prunes on the ``kind`` column."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, content in zip(pdf["doc_id"], pdf["content"]):
+                fps, frames = decode_video(bytes(content))
+                for idx in range(0, len(frames), every_n):
+                    arr = frames[idx].ravel()
+                    pooled = np.resize(
+                        arr, (FEATURE_DIM, max(arr.size // FEATURE_DIM, 1))
+                    ).mean(axis=1)
+                    rows.append(
+                        {
+                            "doc_id": int(did),
+                            "frame_idx": idx,
+                            "t_sec": float(idx / fps),
+                            "features": [float(x) for x in pooled],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "t_sec", "features"]
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        sample, "doc_id long, frame_idx int, t_sec double, features array<double>"
     )

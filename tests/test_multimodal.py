@@ -20,10 +20,11 @@ def test_schema_and_counts(spark, media):
     assert media.count() == 500
     assert dict(media.dtypes)["content"] == "binary"
     kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
-    assert kinds == {"image", "audio"}
+    assert kinds == {"image", "audio", "video"}
     mimes = {r["meta"]["mime"] for r in media.select("meta").collect()}
     assert {"image/png", "image/x-portable-graymap", "image/bmp",
-            "image/x-fake", "audio/wav", "audio/x-fake"} <= mimes
+            "image/x-fake", "audio/wav", "audio/x-fake",
+            "video/x-yuv4mpeg"} <= mimes
 
 
 def test_determinism(spark):
@@ -121,3 +122,71 @@ def test_mp3_sync_and_16bit_netpbm_raise():
         multimodal.decode_audio(b"ID3\x04\x00taggedmp3")
     with pytest.raises(NotImplementedError, match="maxval"):
         multimodal.decode_image(b"P5\n2 2\n65535\n" + b"\x00" * 8)
+
+
+def test_y4m_roundtrip_and_420():
+    """y4m encode → decode is exact for mono; a hand-built 4:2:0 stream
+    decodes its Y planes correctly too."""
+    import numpy as np
+
+    frames = [
+        (np.arange(16 * 8, dtype=np.uint8).reshape(8, 16) + i) % 256
+        for i in range(5)
+    ]
+    blob = multimodal.y4m_encode(frames, fps=10)
+    fps, got = multimodal.decode_video(blob)
+    assert fps == 10.0 and got.shape == (5, 8, 16)
+    for i in range(5):
+        assert np.array_equal((got[i] * 255).round().astype(np.uint8), frames[i])
+    # 4:2:0: Y plane + quarter-size U and V per frame
+    w, h = 8, 4
+    y = np.full((h, w), 77, dtype=np.uint8)
+    uv = bytes((w // 2) * (h // 2)) * 2
+    blob420 = (f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode()
+               + (b"FRAME\n" + y.tobytes() + uv) * 3)
+    fps2, got2 = multimodal.decode_video(blob420)
+    assert fps2 == 25.0 and got2.shape == (3, h, w)
+    assert np.allclose(got2, 77 / 255.0)
+
+
+def test_sample_frames(spark, media):
+    """every_n sampling: frame indexes 0, n, 2n…, timestamps idx/fps,
+    row counts = ceil(n_frames / every_n) per video."""
+    import math
+
+    out = multimodal.sample_frames(media, every_n=2).collect()
+    assert len(out) > 0
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        assert r["frame_idx"] % 2 == 0
+        assert abs(r["t_sec"] - r["frame_idx"] / 10.0) < 1e-9
+        assert len(r["features"]) == multimodal.FEATURE_DIM
+    for did, rows in by_doc.items():
+        n_frames = 4 + (did % 5)
+        assert len(rows) == math.ceil(n_frames / 2), did
+    assert set(by_doc) == {
+        r["doc_id"] for r in media.filter("kind = 'video'").select("doc_id").collect()
+    }
+
+
+def test_video_compressed_formats_raise_named_dependency():
+    import pytest as _pytest
+
+    mp4 = b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16
+    with _pytest.raises(NotImplementedError, match="ffmpeg|PyAV"):
+        multimodal.decode_video(mp4)
+    webm = b"\x1a\x45\xdf\xa3" + b"\x00" * 16
+    with _pytest.raises(NotImplementedError, match="ffmpeg|PyAV"):
+        multimodal.decode_video(webm)
+    with _pytest.raises(ValueError, match="unrecognized video"):
+        multimodal.decode_video(b"garbage data")
+
+
+def test_sample_frames_every_one_keeps_all(spark, media):
+    out = multimodal.sample_frames(media, every_n=1).collect()
+    n_expected = sum(
+        4 + (r["doc_id"] % 5)
+        for r in media.filter("kind = 'video'").select("doc_id").collect()
+    )
+    assert len(out) == n_expected
