@@ -195,6 +195,17 @@ def main() -> None:
     ivf_recall = len({(r.query_id, r.vec_id) for r in ivf_rows} & exact_top) / max(
         len(exact_top), 1
     )
+    # multimodal: synthesize → decode → pool features (real stdlib
+    # decoders incl. y4m video), plus the video frame-sampling stage
+    from eaststorm_searchengine_spark.operators import multimodal
+
+    media = multimodal.synthesize_media(spark, SF_DIR)
+    media_path = os.path.join(TMP, f"bench_media_{tag}")
+    if not os.path.exists(os.path.join(media_path, "_SUCCESS")):
+        media.write.mode("overwrite").parquet(media_path)
+    media_df = spark.read.parquet(media_path)
+    timed("media_features", lambda: multimodal.media_features(media_df).count())
+    timed("video_frame_sample", lambda: multimodal.sample_frames(media_df, every_n=2).count())
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
     timed("event_value_stats", lambda: analytics.event_value_stats(events).count())
     timed("tpch_q1", lambda: E.q_tpch_q1(spark, SF_DIR).count())
