@@ -488,9 +488,10 @@ def q_pagerank(spark, sf_dir):
     """Host-level PageRank final report (reference fixpoint semantics:
     per-iteration %.8f quantization, dangling redistribution, social
     ×0.10, wiki-family merge).  Oracle-checked (r4): an INDEPENDENT
-    pure-Python power iteration (`_python_pagerank_report` — no code
-    shared with the DataFrame loop) is materialized as aux parquet and
-    the driver hash-compares.  Both sides round the report to 8
+    pure-Python power iteration (`_python_pagerank_ranks` →
+    `_python_pagerank_report_from_ranks` — no code shared with the
+    DataFrame loop) is materialized as aux parquet and the driver
+    hash-compares.  Both sides round the report to 8
     decimals at this contract boundary (ranks are already 8-decimal
     quantized by the fixpoint; the rounding canonicalizes the social
     multiply and wiki sum)."""

@@ -283,10 +283,17 @@ def link_hosts_udf(links: pd.Series) -> pd.Series:
     F.parse_url keeps e.g. underscore reg-names that URI.getHost
     rejects, silently changing out-degrees).  Null/empty hosts are
     dropped here."""
+    # `arr if arr is not None else []`, NOT `arr or []`: Arrow delivers
+    # array<string> elements as numpy arrays in some plans (e.g. after
+    # a checkpoint/cache boundary), and bool(ndarray) with 2+ elements
+    # raises — confirmed by execution in code-review r04b
     return links.map(
         lambda arr: [
             h
-            for h in (textproc.extract_host(u) for u in (arr or []))
+            for h in (
+                textproc.extract_host(u)
+                for u in (arr if arr is not None else [])
+            )
             if h
         ]
     )

@@ -100,13 +100,15 @@ def star_capped_pairs(
     ``metrics={}`` to have ``metrics["overcap_buckets"]`` filled with
     the number of buckets where capping actually engaged; a nonzero
     value means the pair output is star-bounded, not complete.  COST
-    NOTE (code-review r04): the count is a separate job that re-runs
-    ``df``'s lineage (including any upstream signature UDFs) — a
-    diagnostic, not a free byproduct; persist/stage ``df`` first if
-    its recompute is expensive."""
+    NOTE (code-review r04/r04b): requesting metrics eagerly
+    localCheckpoints ``df`` (one materialization of the upstream
+    signature UDFs) so the metric count AND the pair plan both read
+    the checkpoint instead of each re-running the lineage; the
+    checkpoint is GC-cleaned with the returned plan."""
     from pyspark.sql import Window
 
     if metrics is not None:
+        df = df.localCheckpoint(eager=True)
         metrics["overcap_buckets"] = (
             df.groupBy(*bucket_cols).count().filter(F.col("count") > cap).count()
         )

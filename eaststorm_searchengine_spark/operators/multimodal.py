@@ -485,6 +485,14 @@ def decode_audio(content: bytes) -> tuple[int, np.ndarray]:
 FEATURE_DIM = 16
 
 
+def _pool(arr: np.ndarray) -> list[float]:
+    """Fixed-dim pooled intensity features — the ONE pooling contract
+    every modality (whole image/audio/video and per-frame) shares
+    (code-review r04b: it was defined twice and could drift)."""
+    pooled = np.resize(arr, (FEATURE_DIM, max(arr.size // FEATURE_DIM, 1))).mean(axis=1)
+    return [float(x) for x in pooled]
+
+
 def media_features(media: DataFrame) -> DataFrame:
     """content → fixed-dim feature vector, vectorized over Arrow
     batches (``mapInPandas``).  The feature extractor is pooled
@@ -502,8 +510,7 @@ def media_features(media: DataFrame) -> DataFrame:
                     arr = frames.ravel()
                 else:
                     _, arr = decode_audio(bytes(content))
-                pooled = np.resize(arr, (FEATURE_DIM, max(arr.size // FEATURE_DIM, 1))).mean(axis=1)
-                feats.append([float(x) for x in pooled])
+                feats.append(_pool(arr))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "kind": pdf["kind"], "features": feats}
             )
@@ -553,16 +560,12 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
             for did, content in zip(pdf["doc_id"], pdf["content"]):
                 fps, frames = decode_video(bytes(content))
                 for idx in range(0, len(frames), every_n):
-                    arr = frames[idx].ravel()
-                    pooled = np.resize(
-                        arr, (FEATURE_DIM, max(arr.size // FEATURE_DIM, 1))
-                    ).mean(axis=1)
                     rows.append(
                         {
                             "doc_id": int(did),
                             "frame_idx": idx,
                             "t_sec": float(idx / fps),
-                            "features": [float(x) for x in pooled],
+                            "features": _pool(frames[idx].ravel()),
                         }
                     )
             yield pd.DataFrame(

@@ -44,10 +44,18 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     order), so the global rank window sees ≤ k × n_partitions rows per
     query instead of the full scored set; the per-query single-reducer
     sort stops scaling with the corpus.  Tie-break everywhere: cosine
-    desc, vec_id asc."""
+    desc, vec_id asc.
+
+    NaN cosines (a NaN component in some input vector) are EXCLUDED
+    like the zero-norm NULLs: an undefined similarity should not
+    outrank every defined one (Spark's raw window would put NaN at
+    rank 1), and a NaN score cannot round-trip the prune's Arrow
+    boundary anyway (code-review r04b)."""
     from ..functions.topk import local_group_topk
 
-    scored = scored.filter(F.col("cosine").isNotNull())
+    scored = scored.filter(
+        F.col("cosine").isNotNull() & ~F.isnan(F.col("cosine"))
+    )
     pruned = local_group_topk(scored, "query_id", ["cosine", "vec_id"], [False, True], k)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

@@ -267,3 +267,25 @@ def test_field_indexes_single_pass_equals_union_of_four(spark, pages_df):
         for r in idx.collect():
             union[(name, r.term)] = list(r.urls)
     assert combined == union and len(combined) > 0
+
+
+def test_host_graph_survives_checkpoint_barrier(spark, pages_df):
+    """link_hosts_udf must accept links delivered as numpy arrays (the
+    Arrow form behind a checkpoint/cache boundary), not just the
+    freshly-chained Python lists (code-review r04b: `arr or []` raised
+    on 2+-element ndarrays)."""
+    from pyspark.sql import functions as F
+
+    from eaststorm_searchengine_spark.functions.udfs import (
+        host_udf,
+        link_hosts_udf,
+        pagerank_links_udf,
+    )
+
+    per_page = pages_df.select(
+        host_udf("url").alias("host"),
+        pagerank_links_udf("html", "url").alias("links"),
+    ).localCheckpoint()  # forces links through an Arrow materialization
+    out = per_page.select(F.array_distinct(link_hosts_udf("links")).alias("dsts"))
+    n = out.filter(F.size("dsts") >= 2).count()
+    assert n > 0  # multi-link pages exercised the ndarray path

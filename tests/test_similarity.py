@@ -184,3 +184,19 @@ def test_ivf_index_handle_matches_one_shot(spark):
     finally:
         idx.unpersist()
     assert first == one_shot and second == one_shot and len(first) > 0
+
+
+def test_nan_cosine_excluded_deterministically(spark):
+    """A NaN-component vector yields an undefined cosine; the ANN tails
+    EXCLUDE it like the zero-norm NULLs (documented contract) — Spark's
+    raw window would rank NaN first, and a NaN score cannot round-trip
+    the prune's Arrow boundary (it comes back NULL), so exclusion is
+    the only behavior that is both sensible and batch-layout-stable
+    (code-review r04b, execution-confirmed)."""
+    rows = [(i, [1.0, 0.0, 0.0]) for i in range(20)]
+    rows.append((99, [float("nan"), 1.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk(emb, [(1, [1.0, 0.0, 0.0])], k=3).collect()
+    assert all(r["vec_id"] != 99 for r in out)
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert all(r["cosine"] == 1.0 for r in out)
