@@ -169,3 +169,37 @@ def test_field_indexes_single_pass_one_shuffle(spark):
     hash_ex = sorted(set(re.findall(r"hashpartitioning\([^)]*\)", plan)))
     assert len(hash_ex) == 1, f"hash exchanges {hash_ex}:\n{plan[:2000]}"
     assert "field" in hash_ex[0] and "term" in hash_ex[0]
+
+
+def test_local_group_topk_equals_window_only_randomized(spark):
+    """Randomized equivalence: pruned + window == window-only, across
+    seeds with heavy score ties (the boundary case where an
+    order-inconsistent prune would diverge)."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from eaststorm_searchengine_spark.functions.topk import local_group_topk
+
+    for seed in range(5):
+        rng = np.random.RandomState(seed)
+        n = 500
+        rows = [
+            (int(rng.randint(0, 4)), int(i),
+             float(rng.randint(0, 8)))  # few distinct scores → many ties
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "q int, id long, score double").repartition(7)
+        k = int(rng.randint(1, 12))
+        w = Window.partitionBy("q").orderBy(F.desc("score"), F.asc("id"))
+
+        def rank(input_df):
+            return sorted(
+                tuple(r)
+                for r in input_df.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= k)
+                .collect()
+            )
+
+        pruned = local_group_topk(df, "q", ["score", "id"], [False, True], k)
+        assert rank(pruned) == rank(df), (seed, k)
