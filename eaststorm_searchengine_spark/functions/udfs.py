@@ -107,6 +107,31 @@ def pagerank_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
     )
 
 
+@pandas_udf(ArrayType(StringType()))
+def pagerank_link_hosts_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
+    """Fused link-extraction + target-host parse for the PageRank
+    adjacency (PageRank.java:284-355 + :53-63): one Arrow pass emitting
+    the deduped target-host list directly, instead of shipping full
+    normalized URLs across the boundary and re-parsing them in a second
+    UDF (the r4 two-pass shape that regressed the bench).  Host grammar
+    is the same URI.getHost-parity ``extract_host`` the page's own host
+    uses.  Output order: first-seen (downstream sorts)."""
+
+    def f(h, u):
+        if isinstance(h, (bytes, bytearray)):
+            h = h.decode("utf-8", errors="replace")
+        out: list[str] = []
+        seen: set[str] = set()
+        for link in textproc.extract_links_for_pagerank(h, u):
+            hh = textproc.extract_host(link)
+            if hh and hh not in seen:
+                seen.add(hh)
+                out.append(hh)
+        return out
+
+    return pd.Series([f(h, u) for h, u in zip(html, base_url)])
+
+
 @pandas_udf(StringType())
 def host_udf(url: pd.Series) -> pd.Series:
     """Lowercased host (SearchServer.java:160-163, PageRank.java:53-63)."""

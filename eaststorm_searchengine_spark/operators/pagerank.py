@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.udfs import host_udf, pagerank_links_udf
+from ..functions.udfs import host_udf
 
 DECAY = 0.85
 MAX_ITERATIONS = 20
@@ -59,20 +59,19 @@ def build_host_graph(pages: DataFrame) -> DataFrame:
     keeps them).  Canonical order: sorted dsts.
 
     Source AND target hosts come from the same URI.getHost-parity
-    parser (``extract_host`` via ``host_udf`` / ``link_hosts_udf``) —
+    parser (``extract_host``, fused into ``pagerank_link_hosts_udf``) —
     an earlier version parsed targets with ``F.parse_url(.., 'HOST')``,
     which accepts reg-names URI.getHost rejects (e.g. underscores),
-    silently changing out-degrees vs the reference (code-review r04)."""
-    from ..functions.udfs import link_hosts_udf
+    silently changing out-degrees vs the reference (code-review r04).
+    r5: extraction and host-parse are ONE Arrow pass (the r4 two-UDF
+    chain shipped full URL strings between passes and regressed the
+    bench 1.97→5.7 s)."""
+    from ..functions.udfs import pagerank_link_hosts_udf
 
-    per_page = pages.select(
+    link_hosts = pages.select(
         host_udf("url").alias("host"),
-        pagerank_links_udf("html", "url").alias("links"),
+        pagerank_link_hosts_udf("html", "url").alias("dsts"),
     ).filter(F.col("host").isNotNull())
-    link_hosts = per_page.select(
-        "host",
-        F.array_distinct(link_hosts_udf("links")).alias("dsts"),
-    )
     return link_hosts.groupBy("host").agg(
         F.array_sort(F.array_distinct(F.flatten(F.collect_list("dsts")))).alias("dsts")
     )

@@ -561,6 +561,8 @@ def extract_host(url: str | None) -> str | None:
 
 _PAGERANK_LINK_NORM_HTTP = "http"
 
+_PAGERANK_HREF_RE = re.compile(r"(?i)href\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^>\s]+))")
+
 
 def extract_links_for_pagerank(html: str | None, base_url: str) -> list[str]:
     """PageRank's own link extractor (distinct from the crawler's).
@@ -572,25 +574,28 @@ def extract_links_for_pagerank(html: str | None, base_url: str) -> list[str]:
     if not html:
         return []
     links: list[str] = []
-    attr_re = re.compile(r"(?i)href\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^>\s]+))")
-    i, n = 0, len(html)
+    i = 0
     low = html.lower()
-    while i < n and len(links) < 500:
-        if low.startswith("<a", i):
-            tag_end = html.find(">", i)
-            if tag_end == -1:
-                break
-            tag = html[i : tag_end + 1]
-            m = attr_re.search(tag)
-            if m:
-                u = m.group(1) or m.group(2) or m.group(3)
-                if u is not None:
-                    norm = _pagerank_normalize(u, base_url)
-                    if norm is not None:
-                        links.append(norm)
-            i = tag_end + 1
-        else:
-            i += 1
+    # C-level ``str.find`` scan — visits exactly the positions the
+    # reference's per-char loop matches (any "<a" prefix, incl. "<abbr",
+    # per PageRank.java's indexOf-style scan); after a matched tag the
+    # cursor jumps past its ">" just like the reference
+    while len(links) < 500:
+        i = low.find("<a", i)
+        if i == -1:
+            break
+        tag_end = html.find(">", i)
+        if tag_end == -1:
+            break
+        tag = html[i : tag_end + 1]
+        m = _PAGERANK_HREF_RE.search(tag)
+        if m:
+            u = m.group(1) or m.group(2) or m.group(3)
+            if u is not None:
+                norm = _pagerank_normalize(u, base_url)
+                if norm is not None:
+                    links.append(norm)
+        i = tag_end + 1
     return links
 
 

@@ -289,3 +289,29 @@ def test_host_graph_survives_checkpoint_barrier(spark, pages_df):
     out = per_page.select(F.array_distinct(link_hosts_udf("links")).alias("dsts"))
     n = out.filter(F.size("dsts") >= 2).count()
     assert n > 0  # multi-link pages exercised the ndarray path
+
+
+def test_fused_link_hosts_udf_equals_two_pass(spark, pages_df):
+    """The r5 fused pagerank_link_hosts_udf (one Arrow pass) must equal
+    the r4 two-UDF chain (extract links, then parse hosts) up to
+    ordering — build_host_graph sorts downstream, so compare as sets."""
+    from pyspark.sql import functions as F
+
+    from eaststorm_searchengine_spark.functions.udfs import (
+        link_hosts_udf,
+        pagerank_link_hosts_udf,
+        pagerank_links_udf,
+    )
+
+    fused = pages_df.select(
+        "url", F.array_sort(pagerank_link_hosts_udf("html", "url")).alias("dsts")
+    )
+    two_pass = pages_df.select(
+        "url",
+        F.array_sort(
+            F.array_distinct(link_hosts_udf(pagerank_links_udf("html", "url")))
+        ).alias("dsts"),
+    )
+    a = {r["url"]: list(r["dsts"]) for r in fused.collect()}
+    b = {r["url"]: list(r["dsts"]) for r in two_pass.collect()}
+    assert a == b and len(a) > 0
