@@ -192,3 +192,47 @@ def pages_with_ids(spark, sf_dir: str):
     return docs.select("doc_id", "text", "lang").mapInPandas(
         gen, "doc_id long, " + PAGES_SCHEMA
     )
+
+
+def zipf_word(rank: int) -> str:
+    """Alphabetic token for Zipf rank (the body tokenizer keeps only
+    ``[a-z]+`` full matches, so digits would be silently dropped)."""
+    s = []
+    r = int(rank)
+    while True:
+        s.append(chr(ord("a") + r % 26))
+        r //= 26
+        if r == 0:
+            break
+    return "q" + "".join(s)
+
+
+def synthesize_zipf_docs(spark, n_docs: int, vocab: int = 50_000,
+                         min_len: int = 40, max_len: int = 120, seed: int = 7):
+    """Deterministic Zipf-vocabulary corpus → (doc_id, text).
+
+    The driver's synthetic documents have a 31-term vocabulary where
+    every term matches most documents — the structural worst case for
+    block-max WAND (uniform idf, nothing skippable).  Real webtext is
+    Zipf-distributed; this corpus reproduces that shape so the engine's
+    decode-skip behavior can be measured through the real segment store
+    (VERDICT r04 #5).  Token ``zipf_word(r)`` has Zipf(1.5) rank r; each
+    doc is seeded by its doc_id, so the corpus is identical at any
+    partitioning/parallelism.
+    """
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["id"]:
+                rng = np.random.RandomState((seed * 1_000_003 + int(did)) % (2**31))
+                length = int(rng.randint(min_len, max_len + 1))
+                ranks = np.clip(rng.zipf(1.5, size=length), 1, vocab)
+                rows.append((int(did), " ".join(zipf_word(r) for r in ranks)))
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    base = spark.range(n_docs).repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
+    return base.mapInPandas(gen, "doc_id long, text string")

@@ -145,6 +145,7 @@ class BM25Index:
         method: str = "exhaustive",
         score_round: int | None = None,
         final_rank: str = "window",
+        decode_acc: tuple | None = None,
     ) -> DataFrame:
         """Top-k BM25 for a query batch → DataFrame(query_id, rank,
         doc_id, score).  Tie-break: score desc, doc_id asc (FIXTURES.md
@@ -204,6 +205,7 @@ class BM25Index:
         avgdl, n_docs, qmap = self.avgdl, self.n_docs, qterms
 
         def score_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+            counters: dict | None = {} if decode_acc is not None else None
             by_term: dict[str, pd.DataFrame] = {
                 t: g.sort_values("first_doc") for t, g in pdf.groupby("term")
             }
@@ -234,9 +236,16 @@ class BM25Index:
                     [idf[t] for t in present],
                     k,
                     avgdl,
+                    counters=counters,
                 )
                 for d, s in zip(docs_a, scores_a):
                     out_rows.append({"query_id": qid, "doc_id": int(d), "score": float(s)})
+            if decode_acc is not None and counters:
+                # (decoded, total) Spark accumulators — executor-side
+                # updates ship back with task results; evidence for the
+                # block-max skip rate through the real segment store
+                decode_acc[0].add(counters.get("blocks_decoded", 0))
+                decode_acc[1].add(counters.get("blocks_total", 0))
             return pd.DataFrame(out_rows, columns=["query_id", "doc_id", "score"])
 
         candidates = segs.groupBy("chunk").applyInPandas(score_chunk, out_schema)
@@ -412,11 +421,19 @@ class BM25Index:
 
 
 def _exhaustive_topk(
-    term_blocks: list[pd.DataFrame], idfs: list[float], k: int, avgdl: float
+    term_blocks: list[pd.DataFrame],
+    idfs: list[float],
+    k: int,
+    avgdl: float,
+    counters: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized term-at-a-time scoring of one chunk.  Deterministic:
     terms arrive sorted, accumulation order fixed."""
     doc_parts, score_parts = [], []
+    if counters is not None:
+        nb = sum(len(b) for b in term_blocks)
+        counters["blocks_total"] = counters.get("blocks_total", 0) + nb
+        counters["blocks_decoded"] = counters.get("blocks_decoded", 0) + nb
     for blocks, w in zip(term_blocks, idfs):
         for row in blocks.itertuples():
             d = codec.delta_decode(row.docs).astype(np.int64)

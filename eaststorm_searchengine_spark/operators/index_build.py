@@ -309,8 +309,16 @@ def build_index(
     n_buckets: int = DEFAULT_BUCKETS,
     stem: bool = False,
     from_html: bool = False,
+    chunk_bits: int | None = None,
 ) -> dict:
     """Full index build → ``out_dir``.  Returns build stats/metrics.
+
+    ``chunk_bits``: doc-range span per (term, chunk) group.  Default
+    ``None`` sizes it adaptively for build parallelism at sandbox
+    corpus sizes; pass an explicit value (e.g. the production
+    ``CHUNK_BITS`` = 18) to reproduce at small scale the long per-chunk
+    posting runs a 10^12-doc corpus has naturally — block-max WAND's
+    skippable shape.
 
     Layout:
       postings/   staged aggregated postings (checkpoint of the
@@ -326,9 +334,10 @@ def build_index(
 
     docs = ensure_parallelism(docs)
     n_docs_est = docs.count()  # parquet metadata read — cheap
-    chunk_bits = adaptive_chunk_bits(
-        n_docs_est, docs.sparkSession.sparkContext.defaultParallelism
-    )
+    if chunk_bits is None:
+        chunk_bits = adaptive_chunk_bits(
+            n_docs_est, docs.sparkSession.sparkContext.defaultParallelism
+        )
     doc_postings(
         docs, id_col, text_col, stem=stem, from_html=from_html,
         n_buckets=n_buckets, chunk_bits=chunk_bits,

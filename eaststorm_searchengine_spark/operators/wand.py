@@ -33,10 +33,20 @@ _INF = np.iinfo(np.int64).max
 class _Cursor:
     """Posting cursor over one term's block rows (sorted by first_doc)."""
 
-    def __init__(self, blocks: pd.DataFrame, idf: float, avgdl: float, order: int):
+    def __init__(
+        self,
+        blocks: pd.DataFrame,
+        idf: float,
+        avgdl: float,
+        order: int,
+        counters: dict | None = None,
+    ):
         self.idf = idf
         self.order = order  # original sorted-term index (determinism)
         self.avgdl = avgdl
+        self.counters = counters
+        if counters is not None:
+            counters["blocks_total"] = counters.get("blocks_total", 0) + len(blocks)
         self.first = blocks["first_doc"].to_numpy(dtype=np.int64)
         self.last = blocks["last_doc"].to_numpy(dtype=np.int64)
         # block upper bound from (max_tf, min_dl): tfnorm is monotone
@@ -62,6 +72,8 @@ class _Cursor:
             self.docs = None
             self.tfn = None
             return
+        if self.counters is not None:
+            self.counters["blocks_decoded"] = self.counters.get("blocks_decoded", 0) + 1
         d = codec.delta_decode(self.docs_b[self.bi]).astype(np.int64)
         tf = codec.vb_decode(self.tfs_b[self.bi]).astype(np.float64)
         dl = codec.vb_decode(self.dls_b[self.bi]).astype(np.float64)
@@ -129,12 +141,19 @@ class _Cursor:
 
 
 def wand_topk(
-    term_blocks: list[pd.DataFrame], idfs: list[float], k: int, avgdl: float
+    term_blocks: list[pd.DataFrame],
+    idfs: list[float],
+    k: int,
+    avgdl: float,
+    counters: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max WAND over one doc-range chunk → (docs, scores) sorted
-    by (score desc, doc asc), at most k entries."""
+    by (score desc, doc asc), at most k entries.  ``counters`` (optional
+    dict) accumulates ``blocks_total`` / ``blocks_decoded`` — the
+    decode-avoidance evidence, zero cost when None."""
     cursors = [
-        _Cursor(b, w, avgdl, i) for i, (b, w) in enumerate(zip(term_blocks, idfs))
+        _Cursor(b, w, avgdl, i, counters)
+        for i, (b, w) in enumerate(zip(term_blocks, idfs))
     ]
     cursors = [c for c in cursors if c.cur != _INF]
     heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)

@@ -234,3 +234,44 @@ def test_auto_method_on_rare_term_corpus(spark, tmp_path):
     a = [tuple(r) for r in idx.search(q, k=10, method="auto", score_round=6).collect()]
     e = [tuple(r) for r in idx.search(q, k=10, score_round=6).collect()]
     assert a == e and len(a) > 0
+
+
+def test_decode_counters_and_zipf_determinism(spark):
+    """r5 decode instrumentation: exhaustive counts every block as
+    decoded; WAND never counts more than total; both executors return
+    identical results with counters on.  Also: the Zipf corpus is
+    deterministic under repartitioning (seeded per doc_id)."""
+    import numpy as np
+    import pandas as pd
+
+    from eaststorm_searchengine_spark import corpus as corpus_mod
+    from eaststorm_searchengine_spark.operators import codec, wand
+    from eaststorm_searchengine_spark.operators.bm25 import _exhaustive_topk
+
+    rng = np.random.RandomState(3)
+    docs = np.sort(rng.choice(5000, size=1200, replace=False)).astype(np.int64)
+    tfs = rng.randint(1, 9, size=1200).astype(np.int64)
+    dls = rng.randint(20, 200, size=1200).astype(np.int64)
+    rows = []
+    for s in range(0, len(docs), 128):
+        e = min(s + 128, len(docs))
+        rows.append({
+            "first_doc": int(docs[s]), "last_doc": int(docs[e - 1]), "n": e - s,
+            "max_tf": int(tfs[s:e].max()), "min_dl": int(dls[s:e].min()),
+            "docs": codec.delta_encode(docs[s:e].astype(np.uint64)),
+            "tfs": codec.vb_encode(tfs[s:e].astype(np.uint64)),
+            "dls": codec.vb_encode(dls[s:e].astype(np.uint64)),
+        })
+    blocks = pd.DataFrame(rows)
+    rare = blocks.iloc[:1].copy()
+    cw, ce = {}, {}
+    dw = wand.wand_topk([blocks, rare], [0.5, 6.0], 5, 100.0, counters=cw)
+    de = _exhaustive_topk([blocks, rare], [0.5, 6.0], 5, 100.0, counters=ce)
+    assert ce["blocks_decoded"] == ce["blocks_total"] == len(blocks) + 1
+    assert cw["blocks_total"] == len(blocks) + 1
+    assert 0 < cw["blocks_decoded"] <= cw["blocks_total"]
+    assert [int(d) for d in dw[0]] == [int(d) for d in de[0]]
+
+    a = sorted(corpus_mod.synthesize_zipf_docs(spark, 200).collect())
+    b = sorted(corpus_mod.synthesize_zipf_docs(spark, 200).repartition(7).collect())
+    assert a == b and len(a) == 200
