@@ -171,6 +171,39 @@ def main() -> None:
     serving_plan = sidx.search(E.QUERY_SET[:1], k=10)
     serving_pruned = "bucket" in plan_inspect.partition_filters(serving_plan)
 
+    # ---- compact_index: streaming-fragment read amplification --------
+    # A long-running incremental ingest leaves one fragment set per
+    # micro-batch (50 here ≈ 42k segment files); compaction re-chunks
+    # through the salted shuffle into the canonical layout (~800
+    # files).  Fragmented-store build is cached; compaction re-runs
+    # each round (VERDICT r04 #4).
+    from eaststorm_searchengine_spark.operators import index_build as ib_mod
+    from eaststorm_searchengine_spark.streaming import incremental
+
+    frag_dir = os.path.join(TMP, "bench_frag_idx")
+    if not os.path.exists(os.path.join(frag_dir, "stats.json")):
+        shutil.rmtree(frag_dir, ignore_errors=True)
+        per = (n_docs + 49) // 50
+        for b in range(50):
+            batch = pages.filter(
+                (F.col("doc_id") >= b * per) & (F.col("doc_id") < (b + 1) * per)
+            )
+            incremental._append_batch(
+                batch, b, frag_dir, "doc_id", "html", True, ib_mod.DEFAULT_BUCKETS
+            )
+        incremental.refresh_metadata(spark, frag_dir)
+    fidx = BM25Index(spark, frag_dir)
+    timed("bm25_batch12_fragmented", lambda: fidx.search(E.QUERY_SET, k=10).collect(), repeats=2)
+    comp_dir = os.path.join(TMP, "bench_compacted_idx")
+
+    def compact_run():
+        shutil.rmtree(comp_dir, ignore_errors=True)
+        ib_mod.compact_index(spark, [frag_dir], comp_dir)
+
+    timed("compact_index_50frags", compact_run, repeats=1)
+    cidx = BM25Index(spark, comp_dir)
+    timed("bm25_batch12_compacted", lambda: cidx.search(E.QUERY_SET, k=10).collect(), repeats=2)
+
     # ---- WAND vs exhaustive through the engine on a Zipf corpus ------
     # The contract corpus's 31-term uniform vocabulary is WAND's worst
     # case; real webtext is Zipf (VERDICT r04 #5).  Deterministic Zipf
