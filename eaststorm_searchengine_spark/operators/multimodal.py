@@ -485,12 +485,32 @@ def decode_audio(content: bytes) -> tuple[int, np.ndarray]:
 FEATURE_DIM = 16
 
 
-def _pool(arr: np.ndarray) -> list[float]:
+def _pool(arr: np.ndarray, quant: float | None = None) -> list[float]:
     """Fixed-dim pooled intensity features — the ONE pooling contract
     every modality (whole image/audio/video and per-frame) shares
-    (code-review r04b: it was defined twice and could drift)."""
+    (code-review r04b: it was defined twice and could drift).
+
+    With ``quant``, samples are first snapped back to their native
+    integer grid (every decoder emits ``k/Q`` floats: Q=765 for the
+    3-channel gray mean — 1-channel ``k/255`` = ``3k/765`` lands on the
+    same grid — and Q=32768 for audio, where the fake container's
+    ``k/128 − 1`` is ``(256k − 32768)/32768``), pooled with exact int64
+    sums, and scaled by ONE final division — so every feature is a
+    bit-reproducible double that the pure-SQL oracle recomputes from
+    the raw pre-encode samples (r5: this is what makes media_features
+    DuckDB-checkable).  float32 decode error is ≤ ~2e-4 on the ×Q
+    grid, far inside rint's 0.5 tolerance."""
+    if quant is not None:
+        ints = np.rint(arr.astype(np.float64) * quant).astype(np.int64)
+        cols = max(ints.size // FEATURE_DIM, 1)
+        sums = np.resize(ints, (FEATURE_DIM, cols)).sum(axis=1, dtype=np.int64)
+        return [float(s) / cols / quant for s in sums]
     pooled = np.resize(arr, (FEATURE_DIM, max(arr.size // FEATURE_DIM, 1))).mean(axis=1)
     return [float(x) for x in pooled]
+
+
+# native sample grids per media kind (see _pool docstring)
+_POOL_QUANT = {"image": 765.0, "video": 765.0, "audio": 32768.0}
 
 
 def media_features(media: DataFrame) -> DataFrame:
@@ -510,7 +530,7 @@ def media_features(media: DataFrame) -> DataFrame:
                     arr = frames.ravel()
                 else:
                     _, arr = decode_audio(bytes(content))
-                feats.append(_pool(arr))
+                feats.append(_pool(arr, _POOL_QUANT[kind]))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "kind": pdf["kind"], "features": feats}
             )
@@ -565,7 +585,7 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                             "doc_id": int(did),
                             "frame_idx": idx,
                             "t_sec": float(idx / fps),
-                            "features": _pool(frames[idx].ravel()),
+                            "features": _pool(frames[idx].ravel(), _POOL_QUANT["video"]),
                         }
                     )
             yield pd.DataFrame(

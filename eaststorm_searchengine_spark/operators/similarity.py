@@ -518,9 +518,16 @@ class IVFIndex:
             )
         else:
             fit_df = base
-        sample = np.array(
-            [r["unit"] for r in fit_df.select("unit").collect()], dtype=np.float64
+        # sort by id driver-side: collect() returns partition order,
+        # which varies with the input's partitioning — and k-means++ is
+        # sample-ORDER-sensitive, so without the sort the fitted
+        # centroids (hence assignments) would differ across otherwise
+        # identical corpora (r5; also what lets the pure-Python oracle
+        # aux reproduce the quantizer exactly)
+        sample_rows = sorted(
+            fit_df.select("vec_id", "unit").collect(), key=lambda r: r["vec_id"]
         )
+        sample = np.array([r["unit"] for r in sample_rows], dtype=np.float64)
         self.empty = sample.size == 0
         if self.empty:  # empty corpus → no results from any query
             self.lists = None

@@ -69,8 +69,6 @@ def test_oracle_match(spark, ddb, name):
 # expected minimum row counts for the rows-only queries at sf0.01
 _MIN_ROWS = {
     "fingerprints": 500,
-    "ann_approx": 2,
-    "media_features": 500,
 }
 
 
