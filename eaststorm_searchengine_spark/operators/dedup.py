@@ -548,16 +548,23 @@ def connected_components(
     crawl frontier broadcast; the edge list was already bounded by the
     pair generators).  Bigger graphs take the distributed loop.  The
     edge count comes free off the eager checkpoint."""
-    # materialize the DIRECTED pairs first: the symmetrizing union
-    # references its input twice, and without this checkpoint the
-    # (expensive) upstream pair pipeline would execute once per branch
-    directed = pairs.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).localCheckpoint(eager=True)
+    # symmetrize via explode, NOT a self-union: the union references
+    # its input twice (forcing an extra eager checkpoint of the
+    # directed pairs so the expensive upstream pair pipeline doesn't
+    # run once per branch — two sequential driver barriers); explode
+    # reads the input once, so ONE checkpoint materializes the
+    # deduped symmetric edge list (r5, VERDICT r04 #6: the grouping
+    # pipeline's serial fraction is these fixed job barriers)
     edges = (
-        directed.unionByName(
-            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
+                    F.struct(F.col(b_col).alias("src"), F.col(a_col).alias("dst")),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint(eager=True)
     )
