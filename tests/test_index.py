@@ -203,3 +203,24 @@ def test_compact_index_refuses_mixed_analyzers(spark, tmp_path):
     build_index_fast(spark, docs.filter("doc_id = 2"), b, stem=True)
     with _pytest.raises(ValueError, match="stemmed"):
         compact_index(spark, [a, b], str(tmp_path / "out"))
+
+
+def test_chunk_bits_override_serves_identical_results(spark):
+    """r5: build_index(chunk_bits=N) pins the doc-range span (the
+    production-shape knob the Zipf WAND bench uses); queries against a
+    pinned-span index must equal the adaptive-span index under both
+    executors, and the pinned span must actually land in stats.json."""
+    import json
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a, b = f"{TMP}/t_cb_adaptive", f"{TMP}/t_cb_pinned"
+    shutil.rmtree(a, ignore_errors=True)
+    shutil.rmtree(b, ignore_errors=True)
+    build_index(spark, docs, a)
+    build_index(spark, docs, b, chunk_bits=14)
+    assert json.load(open(f"{b}/stats.json"))["chunk_bits"] == 14
+    q = [(1, "join"), (2, "merge sort join"), (3, "the a"), (4, "zzz")]
+    for method in ["exhaustive", "wand"]:
+        ra = [tuple(r) for r in BM25Index(spark, a).search(q, k=10, method=method).collect()]
+        rb = [tuple(r) for r in BM25Index(spark, b).search(q, k=10, method=method).collect()]
+        assert ra == rb, method
