@@ -147,11 +147,18 @@ def main() -> None:
             part = base.withColumn("doc_id", F.col("doc_id") + F.lit(i * nb))
             rep = part if rep is None else rep.unionByName(part)
         rep.repartition(64).write.mode("overwrite").parquet(spages_path)
-    sidx_dir = os.path.join(TMP, f"serving_idx_{tag}_x{serving_reps}")
+    # chunk_bits=15: the serving span.  The adaptive rule targets build
+    # parallelism (4×cores chunk groups) and over-shards the query side
+    # — at 1M docs it picks 4096-doc chunks whose per-task scoring runs
+    # are overhead-bound.  32k-doc chunks cost ~13% build time and cut
+    # single-query p50 ~30% / batch ~40% (measured r5; BASELINE.md).
+    # At 10^12 docs the fixed 2^18 production span gives this shape
+    # naturally.
+    sidx_dir = os.path.join(TMP, f"serving_idx_{tag}_x{serving_reps}_cb15")
     if not os.path.exists(os.path.join(sidx_dir, "stats.json")):
         build_index(
             spark, spark.read.parquet(spages_path), sidx_dir,
-            id_col="doc_id", text_col="html", from_html=True,
+            id_col="doc_id", text_col="html", from_html=True, chunk_bits=15,
         )
     sidx = BM25Index(spark, sidx_dir)
     timed("bm25_batch12_wand_1m", lambda: sidx.search(E.QUERY_SET, k=10, method="wand").collect())
