@@ -974,14 +974,31 @@ def _oracle_aux_paths(sf_dir: str = _ORACLE_SF) -> dict:
         }),
         paths["composite_topk"],
     )
-    n_vecs, sum_vec_ids = _ann_aux_tables(paths, sf_dir)
+    try:
+        n_vecs, sum_vec_ids = _ann_aux_tables(paths, sf_dir)
+        ann_ok = True
+    except _AnnAuxUnsupported:
+        # empty placeholders keep the existence check satisfied; the
+        # ann_approx entry degrades to rows-only (oracle_sql checks
+        # the flag) instead of failing spuriously at >100k vectors
+        for name in ("ann_lsh_sigs", "ann_lsh_probes",
+                     "ann_ivf_assign", "ann_ivf_probes"):
+            pq.write_table(pa.table({"x": pa.array([], type=pa.int64())}),
+                           paths[name])
+        n_vecs, sum_vec_ids, ann_ok = 0, 0, False
     _media_aux_tables(paths, docs)
     seeds = [textproc.normalize_seed(u) for u in sorted(urls)[:2]]
     meta = {"n_docs": n_docs, "sum_ids": sum_ids, "sum_lens": sum_lens,
-            "seeds": seeds, "n_vecs": n_vecs, "sum_vec_ids": sum_vec_ids}
+            "seeds": seeds, "n_vecs": n_vecs, "sum_vec_ids": sum_vec_ids,
+            "ann_oracle_ok": ann_ok}
     with open(meta_path, "w") as fh:
         json.dump(meta, fh)
     return {**paths, **meta}
+
+
+class _AnnAuxUnsupported(Exception):
+    """ANN kernel aux cannot reproduce the engine's quantizer for this
+    corpus (see _ann_aux_tables) — degrade to rows-only, loudly."""
 
 
 def _ann_aux_tables(paths: dict, sf_dir: str) -> tuple[int, int]:
@@ -1008,6 +1025,16 @@ def _ann_aux_tables(paths: dict, sf_dir: str) -> tuple[int, int]:
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = np.array(tbl["vec_id"].to_pylist(), dtype=np.int64)
     V = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    if len(ids) > 100_000:
+        # IVFIndex switches to its xxhash64 fit sample above
+        # fit_sample_cap; that JVM hash has no Python parity here, so
+        # the quantizer could not be reproduced — degrade ann_approx to
+        # rows-only LOUDLY rather than let the oracle diverge silently
+        # (code-review r05 #3)
+        raise _AnnAuxUnsupported(
+            f"{len(ids)} embeddings > fit_sample_cap: IVF fit sampling "
+            "not reproducible without JVM xxhash64 parity"
+        )
     n_tables, n_planes, seed = 12, 6, 42  # lsh_cosine_topk defaults
     all_planes = [_hyperplanes(V.shape[1], n_planes, seed=seed + t) for t in range(n_tables)]
     weights = 1 << np.arange(n_planes, dtype=np.int64)
@@ -1050,8 +1077,19 @@ def _ann_aux_tables(paths: dict, sf_dir: str) -> tuple[int, int]:
                   "bucket": pa.array(pr_b, type=pa.int64())}),
         paths["ann_lsh_probes"],
     )
-    # IVF quantizer (IVFIndex defaults: 128 lists, 64 probes, seed 42)
-    norms = np.linalg.norm(V, axis=1)
+    # IVF quantizer (IVFIndex defaults: 128 lists, 64 probes, seed 42).
+    # Corpus unit vectors must be BIT-equal to the engine's, whose norm
+    # comes from Spark's F.aggregate — a sequential left-to-right fold.
+    # np.linalg.norm uses pairwise/BLAS summation and differs in the
+    # last ulp on ~60% of rows (code-review r05 #1: the oracle then
+    # passes only by argmax margin); fold sequentially instead.
+    def _fold_norm(row) -> float:
+        acc = 0.0
+        for v in row:
+            acc += v * v
+        return float(np.sqrt(acc))
+
+    norms = np.array([_fold_norm(r) for r in V], dtype=np.float64)
     safe = np.where(norms == 0, 1.0, norms)
     unit = np.where(norms[:, None] > 0, V / safe[:, None], V)
     centers = _kmeans_fit(unit[np.argsort(ids)], 128, 42)
@@ -1731,6 +1769,7 @@ def oracle_sql() -> dict[str, str]:
     # joins), exact cosine rescoring, and ranking are independent SQL —
     # verifying the engine's distributed bucket joins, dedup, rescore
     # and shared rank tail for BOTH methods
+    ann_ok = aux.get("ann_oracle_ok", False)
     eguard = (
         f"(SELECT CASE WHEN (count(*), coalesce(sum(vec_id), 0)) ="
         f" ({aux['n_vecs']}, {aux['sum_vec_ids']}) THEN TRUE ELSE"
@@ -1742,7 +1781,7 @@ def oracle_sql() -> dict[str, str]:
                  x -> x[1]::DOUBLE * x[2]::DOUBLE))
         / (sqrt(list_sum(list_transform(e.embedding, v -> v::DOUBLE * v::DOUBLE)))
            * sqrt(list_sum(list_transform(q.qv, v -> v::DOUBLE * v::DOUBLE)))), 6)"""
-    out["ann_approx"] = f"""
+    ann_sql = f"""
         WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
                    WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
                      AND {eguard}),
@@ -1781,6 +1820,8 @@ def oracle_sql() -> dict[str, str]:
         FROM ivf_ranked WHERE rank <= {ANN_K}
         ORDER BY method, query_id, rank
     """
+    if ann_ok:
+        out["ann_approx"] = ann_sql
     # media features (oracled r5): aux holds the raw PRE-encode samples
     # on their native integer grid in pool order; the SQL re-pools them
     # independently (cyclic np.resize tiling == idx = cell % n), so the

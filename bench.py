@@ -61,10 +61,7 @@ def main() -> None:
     if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
         base = corpus_mod.pages_with_ids(spark, SF_DIR)
         nb = base.count()
-        rep = None
-        for i in range(replicas):
-            part = base.withColumn("doc_id", F.col("doc_id") + F.lit(i * nb))
-            rep = part if rep is None else rep.unionByName(part)
+        rep = corpus_mod.replicate_with_ids(base, replicas, nb)
         rep.repartition(64).write.mode("overwrite").parquet(pages_path)
     pages = spark.read.parquet(pages_path)
     n_docs = pages.count()
@@ -141,11 +138,7 @@ def main() -> None:
     spages_path = os.path.join(TMP, f"scaling_pages_{tag}_x{serving_reps}")
     if not os.path.exists(os.path.join(spages_path, "_SUCCESS")):
         base = corpus_mod.pages_with_ids(spark, SF_DIR)
-        nb = base.count()
-        rep = None
-        for i in range(serving_reps):
-            part = base.withColumn("doc_id", F.col("doc_id") + F.lit(i * nb))
-            rep = part if rep is None else rep.unionByName(part)
+        rep = corpus_mod.replicate_with_ids(base, serving_reps, base.count())
         rep.repartition(64).write.mode("overwrite").parquet(spages_path)
     # chunk_bits=15: the serving span.  The adaptive rule targets build
     # parallelism (4×cores chunk groups) and over-shards the query side
@@ -225,14 +218,7 @@ def main() -> None:
     if not os.path.exists(os.path.join(zidx_dir, "stats.json")):
         build_index(spark, spark.read.parquet(zdocs_path), zidx_dir, chunk_bits=14)
     zidx = BM25Index(spark, zidx_dir)
-    zq = [
-        (i + 1, " ".join(corpus_mod.zipf_word(r) for r in ranks))
-        for i, ranks in enumerate([
-            (2, 40, 500), (1, 55, 620), (3, 9, 410), (5, 70, 777),
-            (4, 48, 555), (6, 90, 840), (8, 61, 465), (10, 77, 905),
-            (13, 85, 700), (15, 99, 1000),
-        ])
-    ]
+    zq = corpus_mod.zipf_queries(corpus_mod.ZIPF_ANCHORED_RANKS)
     zipf_decode: dict = {}
 
     def zipf_run(method: str):

@@ -236,3 +236,40 @@ def synthesize_zipf_docs(spark, n_docs: int, vocab: int = 50_000,
         spark.sparkContext.defaultParallelism * 2
     )
     return base.mapInPandas(gen, "doc_id long, text string")
+
+
+# Shared Zipf bench query sets (single source for bench.py and
+# tools/wand_engine_bench.py — code-review r05: the two copies had
+# silently drifted, making their decode-fraction numbers incomparable).
+# Anchored: one selective term with per-chunk df >= k (the WAND-
+# favorable shape); dense controls: common-terms-only (the exhaustive-
+# favorable shape the cost-based "auto" must route correctly).
+ZIPF_ANCHORED_RANKS = [
+    (2, 40, 500), (1, 55, 620), (3, 33, 410), (5, 70, 777),
+    (4, 48, 555), (6, 90, 840), (8, 61, 465), (10, 77, 905),
+    (13, 85, 700), (15, 99, 1000),
+]
+ZIPF_DENSE_RANKS = [(1, 2, 3), (4, 5, 6)]
+
+
+def zipf_queries(rank_sets, start_id: int = 1) -> list:
+    return [
+        (start_id + i, " ".join(zipf_word(r) for r in ranks))
+        for i, ranks in enumerate(rank_sets)
+    ]
+
+
+def replicate_with_ids(df, replicas: int, n_rows: int, id_col: str = "doc_id"):
+    """Replicate a corpus with disjoint id ranges in ONE pass: a
+    broadcast cross-join against the replica index, instead of an
+    N-arm union whose every branch re-runs the upstream synthesis
+    (code-review r05: the loop was copy-pasted in bench.py and
+    scaling.py and re-synthesized the base corpus once per replica)."""
+    from pyspark.sql import functions as F
+
+    reps = df.sparkSession.range(replicas).select(F.col("id").alias("__rep"))
+    return (
+        df.crossJoin(F.broadcast(reps))
+        .withColumn(id_col, F.col(id_col) + F.col("__rep") * F.lit(n_rows))
+        .drop("__rep")
+    )

@@ -530,7 +530,10 @@ def media_features(media: DataFrame) -> DataFrame:
                     arr = frames.ravel()
                 else:
                     _, arr = decode_audio(bytes(content))
-                feats.append(_pool(arr, _POOL_QUANT[kind]))
+                # unknown kinds decode via the audio branch above; .get
+                # keeps them on the legacy float pooling instead of a
+                # KeyError inside the task (code-review r05)
+                feats.append(_pool(arr, _POOL_QUANT.get(kind)))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "kind": pdf["kind"], "features": feats}
             )

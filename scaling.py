@@ -148,11 +148,7 @@ def _prepare_corpus() -> str:
     spark = get_spark("scaling-prep", cores=16, shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     base = corpus_mod.pages_with_ids(spark, SF_DIR)
-    n = base.count()
-    rep = None
-    for i in range(REPLICAS):
-        part = base.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
-        rep = part if rep is None else rep.unionByName(part)
+    rep = corpus_mod.replicate_with_ids(base, REPLICAS, base.count())
     rep.repartition(64).write.mode("overwrite").parquet(path)
     spark.stop()
     return path

@@ -1,7 +1,7 @@
 """Standalone serving-scale query bench (1M-page index). Mirrors the
 bench.py section so it can be run/iterated independently."""
 import os, statistics, sys, time
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 import __spark_entry__ as E
 from eaststorm_searchengine_spark import corpus as corpus_mod
@@ -12,13 +12,13 @@ from eaststorm_searchengine_spark.session import get_spark
 
 spark = get_spark("serving-bench", cores=32, shuffle_partitions=64)
 spark.sparkContext.setLogLevel("ERROR")
-TMP = "/root/repo/_tmp"
+TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "_tmp")
 spages_path = os.path.join(TMP, "scaling_pages_sf0.1_x200")
-sidx_dir = os.path.join(TMP, "serving_idx_sf0.1_x200")
+sidx_dir = os.path.join(TMP, "serving_idx_sf0.1_x200_cb15")
 if not os.path.exists(os.path.join(sidx_dir, "stats.json")):
     t0 = time.time()
     build_index(spark, spark.read.parquet(spages_path), sidx_dir,
-                id_col="doc_id", text_col="html", from_html=True)
+                id_col="doc_id", text_col="html", from_html=True, chunk_bits=15)
     print(f"build_1m_sec={time.time()-t0:.1f}")
 sidx = BM25Index(spark, sidx_dir)
 import pandas as _pd

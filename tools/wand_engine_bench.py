@@ -15,18 +15,10 @@ from eaststorm_searchengine_spark.session import get_spark
 N_DOCS = int(os.environ.get("ZIPF_DOCS", "200000"))
 TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "_tmp")
 
-# anchor terms: selective enough for a high threshold (idf ~5-7) but
-# with per-chunk df >= k, so each chunk's top-k is anchored by docs
-# containing them (per-chunk df < k would drag theta down to
-# common-only scores and nothing is skippable -- measured)
-QUERIES = [
-    (i + 1, " ".join(corpus_mod.zipf_word(r) for r in ranks))
-    for i, ranks in enumerate([
-        (2, 40, 500), (1, 55, 620), (3, 33, 410), (5, 70, 777),
-        (4, 48, 555), (6, 90, 840), (8, 61, 465), (10, 77, 905),
-        (1, 2, 3), (4, 5, 6), (13, 85, 700), (15, 99, 1000),
-    ])
-]
+# shared with bench.py via corpus.py (code-review r05: the two copies
+# had drifted); queries 1-10 anchored, 11-12 dense controls
+QUERIES = corpus_mod.zipf_queries(
+    corpus_mod.ZIPF_ANCHORED_RANKS + corpus_mod.ZIPF_DENSE_RANKS)
 
 
 def main() -> None:
@@ -48,7 +40,7 @@ def main() -> None:
         lambda bs: (_pd.DataFrame({"v": [len(b)]}) for b in bs), "v int").count()
 
     out = {"n_docs": N_DOCS, "queries": len(QUERIES)}
-    anchored = QUERIES[:8] + QUERIES[10:]  # queries 9-10 are dense-only controls
+    anchored = QUERIES[:10]  # queries 11-12 are the dense-only controls
     sets = {"all12": QUERIES, "anchored10": anchored}
     results = {}
     for sname, qset in sets.items():
