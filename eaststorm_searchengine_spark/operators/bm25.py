@@ -142,7 +142,7 @@ class BM25Index:
         self,
         queries: list[tuple[int, str]],
         k: int = 10,
-        method: str = "exhaustive",
+        method: str = "auto",
         score_round: int | None = None,
         final_rank: str = "window",
         decode_acc: tuple | None = None,
@@ -154,12 +154,15 @@ class BM25Index:
         shared tokenizer; duplicate query terms are deduped (BM25 sums
         distinct terms, matching the DuckDB oracle).
 
-        ``method``: ``"exhaustive"`` (vectorized term-at-a-time),
-        ``"wand"`` (block-max document-at-a-time), or ``"auto"`` —
-        per-query cost-based choice from the broadcast df stats (WAND
-        when a selective term exists to make blocks skippable,
-        exhaustive for dense-only queries).  All three return identical
-        results (executor equality is bitwise-tested).
+        ``method``: ``"auto"`` (default since r5) — per-query
+        cost-based choice from the broadcast df stats: WAND when a
+        selective term exists to make blocks skippable, exhaustive for
+        dense-only queries.  ``"exhaustive"`` (vectorized
+        term-at-a-time) and ``"wand"`` (block-max document-at-a-time)
+        force one executor.  All three return identical results
+        (executor equality is bitwise-tested); auto measured fastest
+        on both dense and Zipf query mixes (BASELINE.md r5), so it is
+        the production default.
 
         Plan: segment scan (bucket directory pruning from the
         python-computable term hash + term predicate pushdown) ⋈
