@@ -158,8 +158,20 @@ def _run(cores: int, pages_path: str, job: str = "index") -> dict:
     tmp = os.path.join(HERE, "_tmp")
     tpl = _CHILD_GROUPS if job == "groups" else _CHILD
     code = tpl.format(here=HERE, tmp=tmp)
+    # each level runs as its own spark-submit --py-files application
+    # (the north rule's deployment form); the child's get_spark sets
+    # master local[cores] — the sandbox stand-in for the executor count
+    script = os.path.join(tmp, f"_scaling_child_{job}_{cores}.py")
+    with open(script, "w") as fh:
+        fh.write(code)
+    zip_path = os.path.join(HERE, "engine.zip")
+    if os.path.exists(zip_path) and os.environ.get("SCALING_SUBMIT", "1") == "1":
+        cmd = ["spark-submit", "--master", f"local[{cores}]",
+               "--py-files", zip_path, script, str(cores), pages_path]
+    else:
+        cmd = [sys.executable, script, str(cores), pages_path]
     proc = subprocess.run(
-        [sys.executable, "-c", code, str(cores), pages_path],
+        cmd,
         capture_output=True,
         text=True,
         timeout=3000,
