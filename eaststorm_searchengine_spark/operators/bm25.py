@@ -221,16 +221,9 @@ class BM25Index:
                 if not present:
                     continue
                 if method == "auto":
-                    # per-query cost-based choice: block-max WAND pays
-                    # only when a selective term exists to tighten the
-                    # threshold (skippable blocks); dense-only queries
-                    # (every term matches ≥10% of docs — this corpus's
-                    # worst case) decode everything anyway, where the
-                    # vectorized term-at-a-time executor wins.  Both
-                    # executors are bitwise-identical (pytest), so this
-                    # is purely a cost decision.
-                    min_df = min(int(by_term[t]["df"].iloc[0]) for t in present)
-                    use_wand = len(present) >= 2 and min_df * 10 <= n_docs
+                    use_wand = _choose_wand(
+                        {t: by_term[t] for t in present}, k, n_docs
+                    )
                 else:
                     use_wand = method == "wand"
                 fn = wand_topk if use_wand else _exhaustive_topk
@@ -421,6 +414,31 @@ class BM25Index:
         if score_round is not None:
             ranked = ranked.withColumn("score", F.round("score", score_round))
         return ranked
+
+
+def _choose_wand(term_chunk_blocks: dict, k: int, n_docs: int) -> bool:
+    """Per-(query, chunk) cost decision between the executors.  Both
+    are bitwise-identical (pytest), so this is purely about cost:
+
+    * block-max WAND pays only when a SELECTIVE term exists to tighten
+      the threshold — dense-only queries (every term matches ≥10% of
+      docs) decode everything anyway, where the vectorized
+      term-at-a-time executor wins;
+    * AND the rarest term must be able to anchor THIS chunk's top-k:
+      with fewer than ``k`` of its postings in the chunk, θ collapses
+      to common-only scores and block skipping never engages —
+      measured r5: 99.8% of blocks decoded through the pure-Python
+      doc-at-a-time loop, i.e. exhaustive cost without the
+      vectorization (BASELINE.md, Zipf corpus).  The chunk-local
+      posting count comes free off the block metadata (Σn).
+    """
+    if len(term_chunk_blocks) < 2:
+        return False
+    dfs = {t: int(g["df"].iloc[0]) for t, g in term_chunk_blocks.items()}
+    rarest = min(dfs, key=lambda t: dfs[t])
+    if dfs[rarest] * 10 > n_docs:
+        return False  # no selective term anywhere in the corpus
+    return int(term_chunk_blocks[rarest]["n"].sum()) >= k
 
 
 def _exhaustive_topk(

@@ -275,3 +275,28 @@ def test_decode_counters_and_zipf_determinism(spark):
     a = sorted(corpus_mod.synthesize_zipf_docs(spark, 200).collect())
     b = sorted(corpus_mod.synthesize_zipf_docs(spark, 200).repartition(7).collect())
     assert a == b and len(a) == 200
+
+
+def test_choose_wand_chunk_local_anchor_rule():
+    """r5 cost model: WAND needs (a) ≥2 terms, (b) a globally selective
+    term, and (c) that term able to anchor the chunk's top-k (chunk-
+    local postings ≥ k) — below k, θ collapses to common-only scores
+    and nothing is skippable (measured)."""
+    import pandas as pd
+
+    from eaststorm_searchengine_spark.operators.bm25 import _choose_wand
+
+    def blocks(df, ns):
+        return pd.DataFrame({"df": [df] * len(ns), "n": ns})
+
+    dense = blocks(90_000, [128] * 50)
+    anchor_ok = blocks(200, [15])
+    anchor_thin = blocks(200, [3])
+    n_docs = 100_000
+    assert _choose_wand({"a": dense, "b": anchor_ok}, 10, n_docs)
+    # rarest term too thin in this chunk -> exhaustive
+    assert not _choose_wand({"a": dense, "b": anchor_thin}, 10, n_docs)
+    # no selective term anywhere -> exhaustive
+    assert not _choose_wand({"a": dense, "b": blocks(50_000, [128] * 30)}, 10, n_docs)
+    # single term -> exhaustive
+    assert not _choose_wand({"a": anchor_ok}, 10, n_docs)
