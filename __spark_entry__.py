@@ -706,7 +706,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     intermediates were folded into their end-product entries
     (simhash_buckets → simhash_near_dups, minhash_pairs →
     minhash_groups, lsh_ann + ivf_ann → ann_approx, the four url-set
-    indexes → field_indexes)."""
+    indexes → field_indexes).
+
+    FOLD POLICY (VERDICT r05 #8 — the window is full; apply in order
+    if a future operator needs a slot, and move the freed entry's
+    oracle SQL into the surviving entry so no oracle is orphaned):
+      1. terms_intersect + terms_except → one set-ops entry (UNION ALL
+         of both results with a tag column; concatenate the two
+         oracle_sql strings the same way).
+      2. tpch_q1 + tpch_q3 → one tpch entry (same UNION-with-tag
+         shape; both are plain SQL on driver tables).
+      3. event_type_counts folds into event_value_stats (same table,
+         the stats query subsumes the histogram's coverage).
+    Never fold: the bm25_* family (the north-star contract), any entry
+    whose oracle depends on aux kernels unique to it (ann_approx,
+    media_features, minhash_groups, simhash_near_dups), or the only
+    entry exercising a subsystem (sessionize/windowed_event_counts =
+    streaming, crawl_frontier = frontier loop, kvs_upsert = MERGE
+    seam, pagerank_hosts = iterative graph)."""
     return {
         # north-star core (oracle-checked)
         "bm25_topk": q_bm25_topk,
@@ -1040,7 +1057,20 @@ def _ann_aux_tables(paths: dict, sf_dir: str) -> tuple[int, int]:
     n_tables, n_planes, seed = 12, 6, 42  # lsh_cosine_topk defaults
     all_planes = [_hyperplanes(V.shape[1], n_planes, seed=seed + t) for t in range(n_tables)]
     weights = 1 << np.arange(n_planes, dtype=np.int64)
-    bits = (V @ np.vstack(all_planes).T) > 0  # == _multi_sig_col's matmul
+    dots = V @ np.vstack(all_planes).T  # == _multi_sig_col's matmul
+    # ulp-margin guard (ADVICE r05 #2): the engine computes these dots
+    # per Arrow batch while the aux uses one full-matrix gemm; BLAS
+    # summation order can differ in the last ulp across shapes/threads,
+    # and a dot at ~0 could then flip a sign bit between the two sides.
+    # Require every |dot| to clear a margin far above ulp noise
+    # (relative to the row's absolute mass), else degrade loudly.
+    dot_scale = np.abs(V).sum(axis=1, keepdims=True) + 1e-300
+    if float((np.abs(dots) / dot_scale).min()) < 1e-9:
+        raise _AnnAuxUnsupported(
+            "LSH hyperplane dot within ulp noise of 0 — sign bits not "
+            "reproducible across summation orders"
+        )
+    bits = dots > 0
     sig_doc, sig_tbl, sig_bkt = [], [], []
     for t in range(n_tables):
         sigs = (bits[:, t * n_planes:(t + 1) * n_planes] * weights[None, :]).sum(axis=1)
@@ -1096,7 +1126,16 @@ def _ann_aux_tables(paths: dict, sf_dir: str) -> tuple[int, int]:
     unit = np.where(norms[:, None] > 0, V / safe[:, None], V)
     centers = _kmeans_fit(unit[np.argsort(ids)], 128, 42)
     half_sq = (np.linalg.norm(centers, axis=1) ** 2) / 2.0
-    assign = np.argmax(unit @ centers.T - half_sq[None, :], axis=1)
+    aff_all = unit @ centers.T - half_sq[None, :]
+    # same ulp-margin guard for the quantizer: a best-vs-runner-up gap
+    # inside BLAS noise would make the argmax shape-dependent
+    part = np.partition(aff_all, -2, axis=1)
+    if float((part[:, -1] - part[:, -2]).min()) < 1e-9:
+        raise _AnnAuxUnsupported(
+            "IVF argmax runner-up margin within ulp noise — list "
+            "assignment not reproducible across summation orders"
+        )
+    assign = np.argmax(aff_all, axis=1)
     pq.write_table(
         pa.table({"vec_id": pa.array([int(v) for v in ids], type=pa.int64()),
                   "list_id": pa.array([int(a) for a in assign], type=pa.int32())}),
@@ -1711,12 +1750,32 @@ def oracle_sql() -> dict[str, str]:
     _fp_bytes = """list_transform(range(1, octet_length(encode(t))+1),
         i -> (strpos('0123456789ABCDEF', substr(hex(encode(t)), 2*i-1, 1)) - 1) * 16
            + (strpos('0123456789ABCDEF', substr(hex(encode(t)), 2*i, 1)) - 1))"""
+    # ADVICE r05 #3: the engine tokenizes with Python str.split()
+    # (Unicode whitespace) while this oracle splits on RE2 '\s+' (ASCII
+    # only).  The wsguard CTE enumerates exactly the divergent set
+    # (chars where str.isspace() is true but RE2 \s does not match —
+    # verified exhaustively over the BMP) and errors LOUDLY if any doc
+    # contains one, so a corpus change surfaces as an oracle failure
+    # with this message rather than as a phantom engine bug.
+    _ws_divergent = (
+        "[\\x0b\\x1c-\\x1f\\x{0085}\\x{00a0}\\x{1680}"
+        "\\x{2000}-\\x{200a}\\x{2028}\\x{2029}\\x{202f}"
+        "\\x{205f}\\x{3000}]"
+    )
     out["fingerprints"] = f"""
-        WITH toks AS (
+        WITH wsguard AS (
+          SELECT CASE WHEN count(*) > 0 THEN error(
+                   'fingerprints oracle: document text contains '
+                   || 'non-ASCII whitespace — engine str.split() and '
+                   || 'oracle regex would tokenize differently')
+                 ELSE 0 END AS ok
+          FROM documents
+          WHERE regexp_matches(coalesce(text, ''), '{_ws_divergent}')),
+        toks AS (
           SELECT doc_id,
                  list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
                              x -> x <> '') AS ts
-          FROM documents),
+          FROM documents, wsguard),
         th AS (
           SELECT doc_id,
                  list_transform(ts, t ->

@@ -238,6 +238,41 @@ def synthesize_zipf_docs(spark, n_docs: int, vocab: int = 50_000,
     return base.mapInPandas(gen, "doc_id long, text string")
 
 
+def synthesize_skew_docs(spark, n_docs: int, vocab: int = 10_000,
+                         tokens_per_doc: int = 60, hot_fraction: float = 0.0,
+                         seed: int = 11):
+    """Deterministic uniform-vocabulary corpus for the skew flood bench
+    (VERDICT r05 #6) → (doc_id, text).  Every doc carries exactly
+    ``tokens_per_doc`` tokens drawn uniformly from an alphabetic vocab
+    (doc_id-seeded — identical at any partitioning).  With
+    ``hot_fraction`` > 0, that fraction of documents get the single hot
+    term ``zipf_word(0)`` (outside the uniform rank range 1..vocab) as
+    their FIRST token — one term's posting list then spans
+    ``hot_fraction`` of the corpus, the stopword flood the salted
+    (bucket, term, chunk) shuffle must bound.  Replacement, not
+    insertion: total token mass is identical between ``hot_fraction=0``
+    and ``>0``, so any build-time delta is pure skew handling."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hot = zipf_word(0)
+        for pdf in batches:
+            rows = []
+            for did in pdf["id"]:
+                rng = np.random.RandomState((seed * 1_000_003 + int(did)) % (2**31))
+                ranks = rng.randint(1, vocab + 1, size=tokens_per_doc)
+                toks = [zipf_word(r) for r in ranks]
+                if rng.rand() < hot_fraction:
+                    toks[0] = hot
+                rows.append((int(did), " ".join(toks)))
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    base = spark.range(n_docs).repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
+    return base.mapInPandas(gen, "doc_id long, text string")
+
+
 # Shared Zipf bench query sets (single source for bench.py and
 # tools/wand_engine_bench.py — code-review r05: the two copies had
 # silently drifted, making their decode-fraction numbers incomparable).

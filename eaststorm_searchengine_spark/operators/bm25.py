@@ -146,6 +146,7 @@ class BM25Index:
         score_round: int | None = None,
         final_rank: str = "window",
         decode_acc: tuple | None = None,
+        decision_acc: dict | None = None,
     ) -> DataFrame:
         """Top-k BM25 for a query batch → DataFrame(query_id, rank,
         doc_id, score).  Tie-break: score desc, doc_id asc (FIXTURES.md
@@ -178,7 +179,13 @@ class BM25Index:
         (VERDICT r02 #7) — the same TakeOrdered pattern Spark plans for
         orderBy+limit — collapsing the query to ONE job; identical
         results (pytest-gated), ~2× lower single-query latency since
-        the second job's scheduling round-trip disappears."""
+        the second job's scheduling round-trip disappears.
+
+        ``decode_acc``: optional (decoded, total) Spark accumulators
+        fed from the executors — block-decode evidence.
+        ``decision_acc``: optional dict of Spark accumulators keyed by
+        ``DECISION_REASONS`` — per-(query, chunk) records of what the
+        auto cost model chose and why (VERDICT r05 #1)."""
         self._refresh_if_rebuilt()
         qterms: dict[int, list[str]] = {
             qid: sorted(set(self._analyze(q))) for qid, q in queries
@@ -209,6 +216,9 @@ class BM25Index:
 
         def score_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
             counters: dict | None = {} if decode_acc is not None else None
+            decision_counts: dict | None = (
+                {} if decision_acc is not None else None
+            )
             by_term: dict[str, pd.DataFrame] = {
                 t: g.sort_values("first_doc") for t, g in pdf.groupby("term")
             }
@@ -221,9 +231,14 @@ class BM25Index:
                 if not present:
                     continue
                 if method == "auto":
-                    use_wand = _choose_wand(
+                    decision = _wand_decision(
                         {t: by_term[t] for t in present}, k, n_docs
                     )
+                    if decision_counts is not None:
+                        decision_counts[decision] = (
+                            decision_counts.get(decision, 0) + 1
+                        )
+                    use_wand = decision == "wand"
                 else:
                     use_wand = method == "wand"
                 fn = wand_topk if use_wand else _exhaustive_topk
@@ -242,6 +257,11 @@ class BM25Index:
                 # block-max skip rate through the real segment store
                 decode_acc[0].add(counters.get("blocks_decoded", 0))
                 decode_acc[1].add(counters.get("blocks_total", 0))
+            if decision_acc is not None and decision_counts:
+                # per-(query, chunk) auto decisions keyed by reason —
+                # the misprediction evidence VERDICT r05 #1 asks for
+                for reason, cnt in decision_counts.items():
+                    decision_acc[reason].add(cnt)
             return pd.DataFrame(out_rows, columns=["query_id", "doc_id", "score"])
 
         candidates = segs.groupBy("chunk").applyInPandas(score_chunk, out_schema)
@@ -416,6 +436,29 @@ class BM25Index:
         return ranked
 
 
+# the four outcomes of the auto cost model, in accumulator-report order
+DECISION_REASONS = ("wand", "single_term", "no_selective", "anchor_thin")
+
+
+def _wand_decision(term_chunk_blocks: dict, k: int, n_docs: int) -> str:
+    """Per-(query, chunk) cost decision between the executors, with the
+    reason exposed for the decision accumulators (VERDICT r05 #1).
+    Returns one of ``DECISION_REASONS``: ``"wand"`` (use block-max
+    WAND) or the rejection reason (``"single_term"`` — nothing to
+    skip against; ``"no_selective"`` — every query term matches ≥10%
+    of the corpus; ``"anchor_thin"`` — the rarest term has fewer than
+    ``k`` postings in THIS chunk, so θ collapses)."""
+    if len(term_chunk_blocks) < 2:
+        return "single_term"
+    dfs = {t: int(g["df"].iloc[0]) for t, g in term_chunk_blocks.items()}
+    rarest = min(dfs, key=lambda t: dfs[t])
+    if dfs[rarest] * 10 > n_docs:
+        return "no_selective"  # no selective term anywhere in the corpus
+    if int(term_chunk_blocks[rarest]["n"].sum()) < k:
+        return "anchor_thin"
+    return "wand"
+
+
 def _choose_wand(term_chunk_blocks: dict, k: int, n_docs: int) -> bool:
     """Per-(query, chunk) cost decision between the executors.  Both
     are bitwise-identical (pytest), so this is purely about cost:
@@ -432,13 +475,7 @@ def _choose_wand(term_chunk_blocks: dict, k: int, n_docs: int) -> bool:
       vectorization (BASELINE.md, Zipf corpus).  The chunk-local
       posting count comes free off the block metadata (Σn).
     """
-    if len(term_chunk_blocks) < 2:
-        return False
-    dfs = {t: int(g["df"].iloc[0]) for t, g in term_chunk_blocks.items()}
-    rarest = min(dfs, key=lambda t: dfs[t])
-    if dfs[rarest] * 10 > n_docs:
-        return False  # no selective term anywhere in the corpus
-    return int(term_chunk_blocks[rarest]["n"].sum()) >= k
+    return _wand_decision(term_chunk_blocks, k, n_docs) == "wand"
 
 
 def _exhaustive_topk(

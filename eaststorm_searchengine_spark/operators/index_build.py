@@ -71,13 +71,23 @@ MIN_CHUNK_BITS = 10
 
 
 def adaptive_chunk_bits(n_docs: int, parallelism: int) -> int:
-    """Chunk span sized to the corpus: at 10^12 docs the fixed 2^18 span
-    bounds group size; at sandbox scale a full-size span would leave a
-    single chunk (parallelism = vocab size only), so shrink until the
-    corpus yields ≥ ~4×cores chunks.  Monotone in n_docs; recorded in
-    stats.json for reproducibility."""
+    """Chunk span sized to the corpus: at 10^12 docs the fixed 2^18
+    span bounds every (term, chunk) shuffle group; below that, shrink
+    only as far as needed for the corpus to yield roughly one chunk
+    per core.  The chunk count drives QUERY-side parallelism (the
+    scorer is one applyInPandas group per chunk), not build
+    parallelism — the build fans out over (bucket, term, chunk) groups
+    and has the whole vocabulary to parallelize on.  The r4 rule
+    targeted 4×cores chunks and over-sharded the serving path: at 1M
+    docs it picked 4096-doc chunks whose scoring runs are
+    overhead-bound (the r5 cb12→cb15 A/B measured +13% build, −29%
+    single-query p50, −40% batch with the longer span — BASELINE.md).
+    This rule lands the cb15-equivalent span at the 1M bench scale
+    automatically (VERDICT r05 #4); chunk counts quantize in ×2 steps,
+    so [cores/2, cores) is the closest reachable band to "≈ cores".
+    Monotone in n_docs; recorded in stats.json for reproducibility."""
     bits = CHUNK_BITS
-    while bits > MIN_CHUNK_BITS and (n_docs >> bits) < parallelism * 4:
+    while bits > MIN_CHUNK_BITS and (n_docs >> bits) < max(parallelism // 2, 1):
         bits -= 1
     return bits
 BLOCK = 128  # postings per block (classic block-max WAND block size)

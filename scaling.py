@@ -43,7 +43,10 @@ REPLICAS = int(os.environ.get("SCALING_REPLICAS", "100"))
 
 _CHILD = r"""
 import json, os, shutil, sys, time
-sys.path.insert(0, {here!r})
+try:
+    import eaststorm_searchengine_spark  # shipped via --py-files engine.zip
+except ImportError:
+    sys.path.insert(0, {here!r})  # plain-python fallback child (SCALING_SUBMIT=0)
 from pyspark.sql import functions as F
 from eaststorm_searchengine_spark import corpus as corpus_mod
 from eaststorm_searchengine_spark.operators.index_build import build_index_fast
@@ -75,7 +78,10 @@ spark.stop()
 
 _CHILD_GROUPS = r"""
 import json, os, sys, time
-sys.path.insert(0, {here!r})
+try:
+    import eaststorm_searchengine_spark  # shipped via --py-files engine.zip
+except ImportError:
+    sys.path.insert(0, {here!r})  # plain-python fallback child (SCALING_SUBMIT=0)
 from pyspark.sql import functions as F
 from eaststorm_searchengine_spark.operators import dedup
 from eaststorm_searchengine_spark.session import get_spark
@@ -154,6 +160,27 @@ def _prepare_corpus() -> str:
     return path
 
 
+def _fresh_engine_zip() -> str:
+    """Rebuild engine.zip when any package source is newer (ADVICE r05
+    #4: a stale zip makes scaling children silently benchmark old
+    engine code — and since the submit-path children import FROM the
+    zip, staleness would be invisible in the numbers)."""
+    zip_path = os.path.join(HERE, "engine.zip")
+    pkg = os.path.join(HERE, "eaststorm_searchengine_spark")
+    newest = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(pkg)
+        for f in fs
+        if f.endswith(".py")
+    )
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest:
+        sys.path.insert(0, HERE)
+        from tools.make_pyfiles import main as make_zip
+
+        make_zip()
+    return zip_path
+
+
 def _run(cores: int, pages_path: str, job: str = "index") -> dict:
     tmp = os.path.join(HERE, "_tmp")
     tpl = _CHILD_GROUPS if job == "groups" else _CHILD
@@ -164,7 +191,7 @@ def _run(cores: int, pages_path: str, job: str = "index") -> dict:
     script = os.path.join(tmp, f"_scaling_child_{job}_{cores}.py")
     with open(script, "w") as fh:
         fh.write(code)
-    zip_path = os.path.join(HERE, "engine.zip")
+    zip_path = _fresh_engine_zip()
     if os.path.exists(zip_path) and os.environ.get("SCALING_SUBMIT", "1") == "1":
         cmd = ["spark-submit", "--master", f"local[{cores}]",
                "--py-files", zip_path, script, str(cores), pages_path]

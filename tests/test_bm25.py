@@ -300,3 +300,63 @@ def test_choose_wand_chunk_local_anchor_rule():
     assert not _choose_wand({"a": dense, "b": blocks(50_000, [128] * 30)}, 10, n_docs)
     # single term -> exhaustive
     assert not _choose_wand({"a": anchor_ok}, 10, n_docs)
+
+
+def test_wand_decision_reasons():
+    """r6: the auto cost model exposes WHY it rejected WAND, one label
+    per DECISION_REASONS — the decision accumulators report these."""
+    import pandas as pd
+
+    from eaststorm_searchengine_spark.operators.bm25 import (
+        DECISION_REASONS,
+        _wand_decision,
+    )
+
+    def blocks(df, ns):
+        return pd.DataFrame({"df": [df] * len(ns), "n": ns})
+
+    dense = blocks(90_000, [128] * 50)
+    n_docs = 100_000
+    cases = {
+        "wand": {"a": dense, "b": blocks(200, [15])},
+        "anchor_thin": {"a": dense, "b": blocks(200, [3])},
+        "no_selective": {"a": dense, "b": blocks(50_000, [128] * 30)},
+        "single_term": {"a": dense},
+    }
+    for want, tcb in cases.items():
+        assert _wand_decision(tcb, 10, n_docs) == want
+    assert set(cases) == set(DECISION_REASONS)
+
+
+def test_decision_accumulators_report_auto_choices(spark, tmp_path):
+    """method='auto' with decision_acc records one count per
+    (query, chunk) decision, keyed by reason (VERDICT r05 #1)."""
+    from eaststorm_searchengine_spark.operators.bm25 import (
+        BM25Index,
+        DECISION_REASONS,
+    )
+    from eaststorm_searchengine_spark.operators.index_build import build_index
+
+    docs = spark.createDataFrame(
+        [(i, ("rare " if i == 0 else "") + "alpha beta gamma") for i in range(300)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "idx")
+    build_index(spark, docs, out)
+    idx = BM25Index(spark, out)
+    acc = {r: spark.sparkContext.accumulator(0) for r in DECISION_REASONS}
+    n_chunks = idx._segs_df.select("chunk").distinct().count()
+    rows = idx.search(
+        [(1, "rare alpha"), (2, "alpha beta"), (3, "alpha")],
+        k=5, method="auto", decision_acc=acc,
+    ).collect()
+    assert rows
+    counts = {r: a.value for r, a in acc.items()}
+    # every (query, chunk-with-hits) pair produced exactly one decision
+    assert sum(counts.values()) == 3 * n_chunks
+    # q3 is single-term; q2 has no selective term (all terms in every
+    # doc); q1's "rare" term (df=1) can never anchor a top-5
+    assert counts["single_term"] == n_chunks
+    assert counts["no_selective"] == n_chunks
+    assert counts["anchor_thin"] == n_chunks
+    assert counts["wand"] == 0

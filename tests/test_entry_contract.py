@@ -66,10 +66,24 @@ def test_oracle_match(spark, ddb, name):
     assert not mism, f"{name}: {len(mism)} mismatched rows; first: {mism[:3]}"
 
 
-# expected minimum row counts for the rows-only queries at sf0.01
+# Minimum row counts at sf0.01 for every registry entry that CAN run
+# without an oracle_sql entry (ADVICE r05 #1): ann_approx degrades to
+# rows-only when the ANN aux is unsupported (>100k-vector corpora) and
+# the other two degrade if aux generation ever fails — without a floor
+# those entries would be completely unverified.  Applied only to
+# whatever ROWS_ONLY actually contains at collection time.
 _MIN_ROWS = {
-    "fingerprints": 500,
+    "fingerprints": 500,  # one row per document
+    "ann_approx": 20,     # ≥ 2 paths × queries × top-k, minus misses
+    "media_features": 1000,  # 8 feats × ~1k media docs
 }
+
+
+def test_rows_only_have_floor():
+    """Any entry that lost (or never had) its oracle must still carry a
+    minimum-row floor, or it silently becomes unverified."""
+    missing = [k for k in ROWS_ONLY if k not in _MIN_ROWS]
+    assert not missing, f"rows-only entries without a _MIN_ROWS floor: {missing}"
 
 
 def test_registry_fits_driver_window():

@@ -224,3 +224,48 @@ def test_chunk_bits_override_serves_identical_results(spark):
         ra = [tuple(r) for r in BM25Index(spark, a).search(q, k=10, method=method).collect()]
         rb = [tuple(r) for r in BM25Index(spark, b).search(q, k=10, method=method).collect()]
         assert ra == rb, method
+
+
+def test_adaptive_chunk_bits_serving_span():
+    """r6 (VERDICT r05 #4): the adaptive span targets ~one chunk per
+    core — the serving shape — instead of 4×cores; at the 1M-doc bench
+    scale it must land the cb15-equivalent span that the r5 A/B found
+    optimal, and at 10^12 docs it must stay at the fixed production
+    span."""
+    from eaststorm_searchengine_spark.operators.index_build import (
+        CHUNK_BITS,
+        MIN_CHUNK_BITS,
+        adaptive_chunk_bits,
+    )
+
+    assert adaptive_chunk_bits(1_000_000, 32) == 15  # the r5 A/B winner
+    assert adaptive_chunk_bits(10**12, 32) == CHUNK_BITS
+    assert adaptive_chunk_bits(500, 32) == MIN_CHUNK_BITS
+    # chunk count lands in [cores/2, cores) wherever the corpus allows
+    for n in (50_000, 200_000, 1_000_000, 4_000_000):
+        bits = adaptive_chunk_bits(n, 32)
+        assert 16 <= (n >> bits) < 32 or bits in (CHUNK_BITS, MIN_CHUNK_BITS)
+    # monotone in n_docs
+    spans = [adaptive_chunk_bits(n, 32) for n in (10_000, 100_000, 1_000_000)]
+    assert spans == sorted(spans)
+
+
+def test_skew_corpus_deterministic_and_hot_fraction(spark):
+    """The skew-flood bench corpus is partition-invariant and its hot
+    term really hits ~the requested fraction of docs with token mass
+    identical to the uniform twin (replacement, not insertion)."""
+    from eaststorm_searchengine_spark import corpus as corpus_mod
+
+    hot = corpus_mod.zipf_word(0)
+    a = sorted(corpus_mod.synthesize_skew_docs(spark, 400, hot_fraction=0.5).collect())
+    b = sorted(
+        corpus_mod.synthesize_skew_docs(spark, 400, hot_fraction=0.5)
+        .repartition(7)
+        .collect()
+    )
+    assert a == b and len(a) == 400
+    n_hot = sum(1 for _, t in a if t.split()[0] == hot)
+    assert 120 <= n_hot <= 280  # ~50% of 400
+    u = sorted(corpus_mod.synthesize_skew_docs(spark, 400, hot_fraction=0.0).collect())
+    assert all(len(t.split()) == len(ut.split()) for (_, t), (_, ut) in zip(a, u))
+    assert not any(t.split()[0] == hot for _, t in u)
