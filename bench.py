@@ -176,15 +176,23 @@ def main() -> None:
     # method="auto" (caps the dense tail at vectorized-exhaustive
     # cost); the table evidences the spread per query.
     lat_1m: dict[str, float] = {}
+    matched_1m: dict[str, bool] = {}
     for qid, q in E.QUERY_SET:
         per = []
+        rows = []
         for _ in range(3):
             t0 = time.time()
-            sidx.search([(qid, q)], k=10, final_rank="driver").collect()
+            rows = sidx.search([(qid, q)], k=10, final_rank="driver").collect()
             per.append(time.time() - t0)
         lat_1m[q] = round(min(per), 4)
+        matched_1m[q] = len(rows) > 0
     queries["bm25_single_p50_1m"] = round(statistics.median(lat_1m.values()), 4)
     serving_1m_spread = round(max(lat_1m.values()) / max(min(lat_1m.values()), 1e-9), 2)
+    # the no-match control query ('zzzmissing') returns in ~0.4 s and
+    # would dominate the min — the tail metric that matters is the
+    # spread across queries that actually score documents
+    m_lats = [v for q, v in lat_1m.items() if matched_1m[q]]
+    serving_1m_spread_matching = round(max(m_lats) / max(min(m_lats), 1e-9), 2)
     # the scale property that makes 1M-doc (and 10^12-doc) serving
     # viable: the segment scan is bucket-directory-pruned per query
     from eaststorm_searchengine_spark.plans import inspect as plan_inspect
@@ -435,6 +443,7 @@ def main() -> None:
                 "serving_1m_scan_bucket_pruned": serving_pruned,
                 "serving_1m_per_query": lat_1m,
                 "serving_1m_spread_max_over_min": serving_1m_spread,
+                "serving_1m_spread_matching_queries": serving_1m_spread_matching,
                 "serving_chunk_bits_auto": serving_chunk_bits,
                 "zipf_wand_blocks_decoded_fraction": wand_decode_fraction,
                 "zipf_auto_decisions_anchored": zipf_decisions_anchored,
