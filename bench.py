@@ -317,7 +317,7 @@ def main() -> None:
     # handled explicitly").  Two corpora with IDENTICAL token mass: one
     # uniform-vocabulary, one where a single hot term appears in 50% of
     # documents (df=25k vs the uniform corpus's max df≈300 — an ~80×
-    # posting-list skew).  The (bucket, term, chunk) salt bounds the
+    # posting-list skew).  The (bucket, chunk) salt bounds the
     # hot term's shuffle groups at 2^chunk_bits postings each, so the
     # skewed build should stay within ~1.3× of the uniform one.
     sk_n = 50_000

@@ -35,8 +35,8 @@ Two build paths share this file (both serve the identical query
 engine, equality-tested):
 
 * ``build_index`` — the north-star shape: doc-postings UDF → staged
-  parquet (checkpoint) → salted repartition-by-term shuffle keyed on
-  (bucket, term, chunk) → per-group sorted encode.  Term-clustered
+  parquet (checkpoint) → salted repartition-by-term-bucket shuffle
+  keyed on (bucket, chunk) → per-group sorted encode.  Term-clustered
   segment layout; resumable variant ``build_index_resumable``.
 * ``build_index_fast`` — zero-shuffle MapReduce-indexer shape: each
   Arrow batch emits finished compressed block rows (plus per-batch
@@ -76,8 +76,8 @@ def adaptive_chunk_bits(n_docs: int, parallelism: int) -> int:
     only as far as needed for the corpus to yield roughly one chunk
     per core.  The chunk count drives QUERY-side parallelism (the
     scorer is one applyInPandas group per chunk), not build
-    parallelism — the build fans out over (bucket, term, chunk) groups
-    and has the whole vocabulary to parallelize on.  The r4 rule
+    parallelism — the build fans out over (bucket, chunk) groups
+    and has the whole bucket space to parallelize on.  The r4 rule
     targeted 4×cores chunks and over-sharded the serving path: at 1M
     docs it picked 4096-doc chunks whose scoring runs are
     overhead-bound (the r5 cb12→cb15 A/B measured +13% build, −29%
@@ -718,7 +718,7 @@ def compact_index(
     instead of a driver-side k-way file merge, the fragment rows are
     decoded back to postings, re-chunked on the canonical doc-range key
     (``chunk = doc_id >> chunk_bits``), and re-encoded through the SAME
-    salted (bucket, term, chunk) shuffle the term-partitioned builder
+    salted (bucket, chunk) shuffle the term-partitioned builder
     uses — one shuffle, term skew bounded by the chunk salt, arbitrary
     input layout (streaming ``stream_batch=*`` appends, fast-path
     per-batch fragments, or other compacted stores).
