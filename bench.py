@@ -74,17 +74,62 @@ def main() -> None:
 
     queries: dict[str, float] = {}
 
+    # Steal canary: a fixed JVM-side reference job whose duration tracks
+    # hypervisor steal, not our code.  The r5 AND the first r6 records
+    # both caught the flagship index-build entry in a sustained slow
+    # window (17.3 s recorded vs 7.5-7.9 s isolated minutes later) —
+    # a burst long enough to swallow every best-of-3 repeat.  Guarded
+    # entries re-measure (bounded) while the canary reads >1.5x its
+    # session baseline; the per-entry canary ratio is recorded in the
+    # output JSON either way, so a still-contaminated number is labeled
+    # rather than silently wrong.
+    def canary_run() -> float:
+        t0 = time.time()
+        spark.range(200_000_000, numPartitions=32).select(F.sum("id")).collect()
+        return time.time() - t0
+
+    # running-min base: a slow session START would inflate a fixed base
+    # and make every later ratio read ~1 inside the same window; every
+    # reading ratchets the base down instead.  Absolute seconds are
+    # recorded too — the job is fixed, so they're comparable across
+    # rounds (~0.18 s on an uncontended window).
+    canary_state = {"base": min(canary_run() for _ in range(3))}
+
+    def canary() -> float:
+        t = canary_run()
+        canary_state["base"] = min(canary_state["base"], t)
+        return t / canary_state["base"]
+
+    canary_ratios: dict[str, float] = {}
+    canary_abs: dict[str, float] = {}
+
     # best-of-N everywhere: this VM suffers bursty hypervisor steal
     # (same job swings 2-3x run to run — BASELINE.md methodology note);
     # min-of-repeats is the stable statistic
-    def timed(name: str, fn, repeats: int = 3):
+    def timed(name: str, fn, repeats: int = 3, guard: bool = False):
         best = None
         out = None
+        pre = canary() if guard else 0.0
         for _ in range(repeats):
             t0 = time.time()
             out = fn()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+        if guard:
+            # canary on BOTH sides: a burst that spans the repeats shows
+            # on at least one side even if it starts or ends mid-entry
+            ratio = max(pre, canary())
+            extra = 0
+            while ratio > 1.5 and extra < 3:
+                time.sleep(5.0)  # let the burst pass before re-measuring
+                pre = canary()
+                t0 = time.time()
+                out = fn()
+                best = min(best, time.time() - t0)
+                ratio = max(pre, canary())
+                extra += 1
+            canary_ratios[name] = round(ratio, 2)
+            canary_abs[name] = round(ratio * canary_state["base"], 3)
         queries[name] = round(best, 4)
         return out
 
@@ -109,6 +154,7 @@ def main() -> None:
             spark, pages, idx_dir, id_col="doc_id", text_col="html", from_html=True
         ),
         repeats=3,
+        guard=True,
     )
     docs_per_sec = n_docs / queries["index_build_html"]
     idx_dir2 = os.path.join(TMP, f"bench_idx_term_{tag}")
@@ -119,6 +165,7 @@ def main() -> None:
             spark, pages, idx_dir2, id_col="doc_id", text_col="html", from_html=True
         ),
         repeats=3,
+        guard=True,
     )
     idx = BM25Index(spark, idx_dir)
 
@@ -449,6 +496,9 @@ def main() -> None:
                 "zipf_auto_decisions_anchored": zipf_decisions_anchored,
                 "zipf_auto_decisions_mixed": dict(zipf_decisions),
                 "skew_flood_build_ratio": skew_ratio,
+                "steal_canary_ratios": canary_ratios,
+                "steal_canary_sec": canary_abs,
+                "steal_canary_base_sec": round(canary_state["base"], 3),
                 "lsh_ann_recall_at_10": round(lsh_recall, 4),
                 "ivf_ann_recall_at_10": round(ivf_recall, 4),
             }
