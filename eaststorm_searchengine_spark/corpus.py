@@ -249,7 +249,7 @@ def synthesize_skew_docs(spark, n_docs: int, vocab: int = 10_000,
     term ``zipf_word(0)`` (outside the uniform rank range 1..vocab) as
     their FIRST token — one term's posting list then spans
     ``hot_fraction`` of the corpus, the stopword flood the salted
-    (bucket, term, chunk) shuffle must bound.  Replacement, not
+    (bucket, chunk) shuffle must bound.  Replacement, not
     insertion: total token mass is identical between ``hot_fraction=0``
     and ``>0``, so any build-time delta is pure skew handling."""
     import numpy as np
