@@ -1064,8 +1064,14 @@ def _ann_aux_tables(paths: dict, sf_dir: str) -> tuple[int, int]:
     # and a dot at ~0 could then flip a sign bit between the two sides.
     # Require every |dot| to clear a margin far above ulp noise
     # (relative to the row's absolute mass), else degrade loudly.
-    dot_scale = np.abs(V).sum(axis=1, keepdims=True) + 1e-300
-    if float((np.abs(dots) / dot_scale).min()) < 1e-9:
+    # All-zero vectors are exempt (code-review r06): their dots are
+    # exactly 0.0 in every summation order (all products are ±0), so
+    # the sign bit (0 > 0 == False) IS reproducible.
+    row_mass = np.abs(V).sum(axis=1, keepdims=True)
+    nonzero = (row_mass > 0.0).ravel()
+    if nonzero.any() and float(
+        (np.abs(dots[nonzero]) / row_mass[nonzero]).min()
+    ) < 1e-9:
         raise _AnnAuxUnsupported(
             "LSH hyperplane dot within ulp noise of 0 — sign bits not "
             "reproducible across summation orders"
@@ -1128,9 +1134,14 @@ def _ann_aux_tables(paths: dict, sf_dir: str) -> tuple[int, int]:
     half_sq = (np.linalg.norm(centers, axis=1) ** 2) / 2.0
     aff_all = unit @ centers.T - half_sq[None, :]
     # same ulp-margin guard for the quantizer: a best-vs-runner-up gap
-    # inside BLAS noise would make the argmax shape-dependent
+    # inside BLAS noise would make the argmax shape-dependent.  Zero
+    # rows are exempt (code-review r06): their dots are exactly 0 in
+    # every summation order, so the affinity is the exact constant
+    # -half_sq and the argmax is reproducible regardless of margin.
     part = np.partition(aff_all, -2, axis=1)
-    if float((part[:, -1] - part[:, -2]).min()) < 1e-9:
+    margins = part[:, -1] - part[:, -2]
+    nz_rows = norms > 0
+    if nz_rows.any() and float(margins[nz_rows].min()) < 1e-9:
         raise _AnnAuxUnsupported(
             "IVF argmax runner-up margin within ulp noise — list "
             "assignment not reproducible across summation orders"

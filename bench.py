@@ -96,9 +96,15 @@ def main() -> None:
     canary_state = {"base": min(canary_run() for _ in range(3))}
 
     def canary() -> float:
+        """One canary reading in RAW seconds; ratchets the running-min
+        base down.  Ratios are computed at use time against the
+        then-current base so the recorded absolute seconds are always
+        values that were actually measured (code-review r06: deriving
+        abs = ratio x base fabricated a never-measured number whenever
+        the base ratcheted between the pre and post readings)."""
         t = canary_run()
         canary_state["base"] = min(canary_state["base"], t)
-        return t / canary_state["base"]
+        return t
 
     canary_ratios: dict[str, float] = {}
     canary_abs: dict[str, float] = {}
@@ -116,7 +122,7 @@ def main() -> None:
         carries its own weather report."""
         best = None
         out = None
-        pre = canary() if (guard or label) else 0.0
+        worst_t = canary() if (guard or label) else 0.0
         for _ in range(repeats):
             t0 = time.time()
             out = fn()
@@ -125,18 +131,18 @@ def main() -> None:
         if guard or label:
             # canary on BOTH sides: a burst that spans the repeats shows
             # on at least one side even if it starts or ends mid-entry
-            ratio = max(pre, canary())
+            worst_t = max(worst_t, canary())
             extra = 0
-            while guard and ratio > 1.5 and extra < 3:
+            while guard and worst_t / canary_state["base"] > 1.5 and extra < 3:
                 time.sleep(5.0)  # let the burst pass before re-measuring
-                pre = canary()
+                worst_t = canary()
                 t0 = time.time()
                 out = fn()
                 best = min(best, time.time() - t0)
-                ratio = max(pre, canary())
+                worst_t = max(worst_t, canary())
                 extra += 1
-            canary_ratios[name] = round(ratio, 2)
-            canary_abs[name] = round(ratio * canary_state["base"], 3)
+            canary_ratios[name] = round(worst_t / canary_state["base"], 2)
+            canary_abs[name] = round(worst_t, 3)
         queries[name] = round(best, 4)
         return out
 
@@ -219,9 +225,23 @@ def main() -> None:
             id_col="doc_id", text_col="html", from_html=True,
         )
     serving_chunk_bits = json.load(open(os.path.join(sidx_dir, "stats.json")))["chunk_bits"]
-    assert serving_chunk_bits >= 15, (
-        f"adaptive span regressed to cb{serving_chunk_bits} at 1M docs"
+    # self-consistency with the adaptive rule at THIS corpus/core count
+    # (code-review r06: a bare >=15 assert hard-coded the default
+    # 32-core x200-replica config and crashed the bench under other
+    # valid env settings); the >=15 regression check only applies at
+    # the configuration the r5 A/B was measured at
+    from eaststorm_searchengine_spark.operators.index_build import adaptive_chunk_bits
+
+    n_serving = spark.read.parquet(spages_path).count()
+    expected_bits = adaptive_chunk_bits(n_serving, CPUS)
+    assert serving_chunk_bits == expected_bits, (
+        f"serving index span cb{serving_chunk_bits} != adaptive rule's "
+        f"cb{expected_bits} for {n_serving} docs @ {CPUS} cores — stale cache?"
     )
+    if CPUS == 32 and n_serving >= 1_000_000:
+        assert serving_chunk_bits >= 15, (
+            f"adaptive span regressed to cb{serving_chunk_bits} at 1M docs"
+        )
     sidx = BM25Index(spark, sidx_dir)
     timed("bm25_batch12_wand_1m", lambda: sidx.search(E.QUERY_SET, k=10, method="wand").collect(), label=True)
     # per-query table (VERDICT r05 #3): the r5 record had a 0.5-2.4 s
@@ -301,69 +321,63 @@ def main() -> None:
     if not os.path.exists(os.path.join(zidx_dir, "stats.json")):
         build_index(spark, spark.read.parquet(zdocs_path), zidx_dir, chunk_bits=14)
     zidx = BM25Index(spark, zidx_dir)
-    zq = corpus_mod.zipf_queries(corpus_mod.ZIPF_ANCHORED_RANKS)
-    zipf_decode: dict = {}
-    zipf_decisions: dict = {}
-
-    def zipf_run(method: str, qset=None):
-        a = (spark.sparkContext.accumulator(0), spark.sparkContext.accumulator(0))
-        d = (
-            {r: spark.sparkContext.accumulator(0) for r in DECISION_REASONS}
-            if method == "auto"
-            else None
-        )
-        rows = zidx.search(
-            qset if qset is not None else zq,
-            k=10, method=method, decode_acc=a, decision_acc=d,
-        ).collect()
-        zipf_decode[method] = (a[0].value, a[1].value)
-        if d is not None:
-            zipf_decisions.update({r: acc.value for r, acc in d.items()})
-        return {(r.query_id, r.rank, r.doc_id) for r in rows}
-
-    # interleaved round-robin best-of-3 (VERDICT r05 #1): grouped
-    # repeats let one warm-up / steal burst land entirely on a single
-    # method — the r5 record had auto slowest of the trio while a
-    # same-day session had it fastest.  Round-robin exposes each method
-    # to the same noise; the per-(query,chunk) decision counters below
-    # record WHAT auto chose so a future discrepancy is diagnosable.
     z_methods = ("exhaustive", "wand", "auto")
-    z_best: dict = {}
-    z_rows: dict = {}
-    for _ in range(3):
+
+    def zipf_trio(qset, prefix: str):
+        """Interleaved round-robin best-of-3 over the three executors
+        (VERDICT r05 #1): grouped repeats let one warm-up / steal
+        burst land entirely on a single method — the r5 record had
+        auto slowest of the trio while a same-day session had it
+        fastest.  Round-robin exposes each method to the same noise.
+        Returns (per-method decode counters, auto decision counters)
+        for THIS query set; one shared shape for the anchored and
+        mixed sets so the two records can't drift apart."""
+        decode: dict = {}
+        decisions: dict = {}
+        best: dict = {}
+        rows: dict = {}
+        for _ in range(3):
+            for m in z_methods:
+                a = (spark.sparkContext.accumulator(0), spark.sparkContext.accumulator(0))
+                d = (
+                    {r: spark.sparkContext.accumulator(0) for r in DECISION_REASONS}
+                    if m == "auto"
+                    else None
+                )
+                t0 = time.time()
+                out = zidx.search(
+                    qset, k=10, method=m, decode_acc=a, decision_acc=d
+                ).collect()
+                dt = time.time() - t0
+                best[m] = min(best.get(m, dt), dt)
+                rows[m] = {(r.query_id, r.rank, r.doc_id) for r in out}
+                decode[m] = (a[0].value, a[1].value)
+                if d is not None:
+                    decisions = {r: acc.value for r, acc in d.items()}
         for m in z_methods:
-            t0 = time.time()
-            z_rows[m] = zipf_run(m)
-            dt = time.time() - t0
-            z_best[m] = min(z_best.get(m, dt), dt)
-    for m in z_methods:
-        queries[f"zipf_bm25_{m}"] = round(z_best[m], 4)
-    assert (
-        z_rows["exhaustive"] == z_rows["wand"] == z_rows["auto"]
-    ), "executor results diverge on Zipf corpus"
+            queries[f"{prefix}{m}"] = round(best[m], 4)
+        assert (
+            rows["exhaustive"] == rows["wand"] == rows["auto"]
+        ), f"executor results diverge ({prefix})"
+        return decode, decisions
+
+    zq = corpus_mod.zipf_queries(corpus_mod.ZIPF_ANCHORED_RANKS)
+    z_decode, zipf_decisions_anchored = zipf_trio(zq, "zipf_bm25_")
+    # the skip-rate evidence metric is defined on the ANCHORED set
+    # (dense controls decode ~everything by design — code-review r06:
+    # the mixed run was silently overwriting this before)
+    wand_decode_fraction = round(
+        z_decode["wand"][0] / max(z_decode["wand"][1], 1), 4
+    )
     # auto's home turf: the MIXED set (anchored + dense controls) where
     # neither pure executor is right for every query — auto should beat
     # both here, not just tie the per-set winner
-    zipf_decisions_anchored = dict(zipf_decisions)
-    zipf_decisions.clear()
     zq_mixed = corpus_mod.zipf_queries(
         corpus_mod.ZIPF_ANCHORED_RANKS + corpus_mod.ZIPF_DENSE_RANKS
     )
-    zm_best: dict = {}
-    zm_rows: dict = {}
-    for _ in range(3):
-        for m in z_methods:
-            t0 = time.time()
-            zm_rows[m] = zipf_run(m, qset=zq_mixed)
-            dt = time.time() - t0
-            zm_best[m] = min(zm_best.get(m, dt), dt)
-    for m in z_methods:
-        queries[f"zipf_mixed_bm25_{m}"] = round(zm_best[m], 4)
-    assert (
-        zm_rows["exhaustive"] == zm_rows["wand"] == zm_rows["auto"]
-    ), "executor results diverge on mixed Zipf set"
-    wand_decode_fraction = round(
-        zipf_decode["wand"][0] / max(zipf_decode["wand"][1], 1), 4
+    zm_decode, zipf_decisions_mixed = zipf_trio(zq_mixed, "zipf_mixed_bm25_")
+    wand_decode_fraction_mixed = round(
+        zm_decode["wand"][0] / max(zm_decode["wand"][1], 1), 4
     )
 
     # ---- skew flood: the salted shuffle under a stopword flood -------
@@ -500,8 +514,9 @@ def main() -> None:
                 "serving_1m_spread_matching_queries": serving_1m_spread_matching,
                 "serving_chunk_bits_auto": serving_chunk_bits,
                 "zipf_wand_blocks_decoded_fraction": wand_decode_fraction,
+                "zipf_wand_blocks_decoded_fraction_mixed": wand_decode_fraction_mixed,
                 "zipf_auto_decisions_anchored": zipf_decisions_anchored,
-                "zipf_auto_decisions_mixed": dict(zipf_decisions),
+                "zipf_auto_decisions_mixed": zipf_decisions_mixed,
                 "skew_flood_build_ratio": skew_ratio,
                 "steal_canary_ratios": canary_ratios,
                 "steal_canary_sec": canary_abs,

@@ -206,6 +206,9 @@ def _fresh_engine_zip() -> str:
     return zip_path
 
 
+_ZIP_CACHE: dict = {}
+
+
 def _run(cores: int, pages_path: str, job: str = "index") -> dict:
     tmp = os.path.join(HERE, "_tmp")
     tpl = _CHILD_GROUPS if job == "groups" else _CHILD
@@ -216,8 +219,14 @@ def _run(cores: int, pages_path: str, job: str = "index") -> dict:
     script = os.path.join(tmp, f"_scaling_child_{job}_{cores}.py")
     with open(script, "w") as fh:
         fh.write(code)
-    zip_path = _fresh_engine_zip()
-    if os.path.exists(zip_path) and os.environ.get("SCALING_SUBMIT", "1") == "1":
+    # freshness-check the zip only on the submit path (the fallback
+    # child never reads it) and only once per process — code-review
+    # r06: every child invocation was re-walking the package tree
+    submit = os.environ.get("SCALING_SUBMIT", "1") == "1"
+    if submit and "zip" not in _ZIP_CACHE:
+        _ZIP_CACHE["zip"] = _fresh_engine_zip()
+    zip_path = _ZIP_CACHE.get("zip", "")
+    if submit and os.path.exists(zip_path):
         cmd = ["spark-submit", "--master", f"local[{cores}]",
                "--py-files", zip_path, script, str(cores), pages_path]
     else:
@@ -281,10 +290,20 @@ def main() -> None:
                       "four_n": [round(r["sec"], 1) for r in hi_runs]},
     }
     if floor_lo is not None:
-        adj = ((lo["sec"] - floor_lo) / (hi["sec"] - floor_hi)) / 4.0
         result["fixed_floor_sec"] = {"n": round(floor_lo, 2),
                                      "four_n": round(floor_hi, 2)}
-        result["floor_adjusted_efficiency"] = round(adj, 3)
+        # sanity gate (code-review r06): the floor runs execute in a
+        # DIFFERENT window than the main runs on a VM with ~3x swings;
+        # a steal burst during a floor run can push floor_hi toward
+        # hi_sec and make the adjusted ratio nonsense (negative /
+        # arbitrarily large).  Only report the adjusted number when
+        # the floor is a minor fraction of both measurements; raw
+        # efficiency stays the headline metric either way.
+        if floor_lo < 0.5 * lo["sec"] and floor_hi < 0.5 * hi["sec"]:
+            adj = ((lo["sec"] - floor_lo) / (hi["sec"] - floor_hi)) / 4.0
+            result["floor_adjusted_efficiency"] = round(adj, 3)
+        else:
+            result["floor_overlaps_noise"] = True
     with open(os.path.join(HERE, out_name), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
