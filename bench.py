@@ -251,6 +251,7 @@ def main() -> None:
     # cost); the table evidences the spread per query.
     lat_1m: dict[str, float] = {}
     matched_1m: dict[str, bool] = {}
+    serving_canary_worst = canary()
     for qid, q in E.QUERY_SET:
         per = []
         rows = []
@@ -260,6 +261,14 @@ def main() -> None:
             per.append(time.time() - t0)
         lat_1m[q] = round(min(per), 4)
         matched_1m[q] = len(rows) > 0
+    # the spread metric is window-sensitive (a burst inflates one
+    # query's min and the max/min ratio with it) — label the whole
+    # table with the worst canary reading bracketing it
+    serving_canary_worst = max(serving_canary_worst, canary())
+    canary_ratios["serving_1m_per_query"] = round(
+        serving_canary_worst / canary_state["base"], 2
+    )
+    canary_abs["serving_1m_per_query"] = round(serving_canary_worst, 3)
     queries["bm25_single_p50_1m"] = round(statistics.median(lat_1m.values()), 4)
     serving_1m_spread = round(max(lat_1m.values()) / max(min(lat_1m.values()), 1e-9), 2)
     # the no-match control query ('zzzmissing') returns in ~0.4 s and
@@ -495,6 +504,14 @@ def main() -> None:
     timed("event_value_stats", lambda: analytics.event_value_stats(events).count())
     timed("tpch_q1", lambda: E.q_tpch_q1(spark, SF_DIR).count())
 
+    # ratios recorded early in the session were computed against a base
+    # that may still have been inflated (the running min only ratchets
+    # down); recompute every ratio against the FINAL base so the
+    # printed ratios are mutually comparable — the absolute seconds are
+    # the measured values either way
+    canary_ratios = {
+        k: round(v / canary_state["base"], 2) for k, v in canary_abs.items()
+    }
     total = round(sum(queries.values()), 4)
     print(
         json.dumps(
