@@ -267,6 +267,63 @@ class BM25Index:
         candidates = segs.groupBy("chunk").applyInPandas(score_chunk, out_schema)
         return self._rank(candidates, k, score_round, final_rank)
 
+    def explain(self, queries: list[tuple[int, str]], k: int = 10) -> DataFrame:
+        """Driver-side preview of the auto executor choice, one row per
+        (query, chunk-with-hits) — the production-debugging view of the
+        cost model (``method="auto"``): which executor each chunk's
+        scorer would pick and why, computed from the SAME block-metadata
+        frames ``score_chunk`` hands to ``_wand_decision`` (equality
+        with the decision accumulators is pytest-gated).  Reads only
+        block metadata (term, chunk, first_doc, n + broadcast df) —
+        posting blobs are never touched, so the cost is the pruned
+        metadata scan, bounded by the query terms' block counts.
+
+        Returns DataFrame(query_id, chunk, decision, n_terms_present,
+        rarest_term, rarest_df, rarest_chunk_postings) where
+        ``decision`` ∈ DECISION_REASONS (``"wand"`` or the rejection
+        reason) and ``rarest_chunk_postings`` is the chunk-local Σn of
+        the rarest term — the quantity the anchor rule tests against
+        ``k``."""
+        self._refresh_if_rebuilt()
+        qterms: dict[int, list[str]] = {
+            qid: sorted(set(self._analyze(q))) for qid, q in queries
+        }
+        all_terms = sorted({t for ts in qterms.values() for t in ts})
+        schema = (
+            "query_id int, chunk int, decision string, n_terms_present int, "
+            "rarest_term string, rarest_df long, rarest_chunk_postings long"
+        )
+        if not all_terms:
+            return self.spark.createDataFrame([], schema)
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in all_terms})
+        stats = self._stats_df.filter(F.col("term").isin(all_terms)).select("term", "df")
+        meta = (
+            self._segs_df
+            .filter(F.col("bucket").isin(buckets))  # partition pruning
+            .filter(F.col("term").isin(all_terms))
+            .select("term", "chunk", "first_doc", "n")
+            .join(F.broadcast(stats), "term")
+            .toPandas()
+        )
+        rows = []
+        n_docs = self.n_docs
+        for chunk, cg in meta.groupby("chunk"):
+            by_term = {t: g.sort_values("first_doc") for t, g in cg.groupby("term")}
+            for qid, terms in qterms.items():
+                present = {t: by_term[t] for t in terms if t in by_term}
+                if not present:
+                    continue
+                decision = _wand_decision(present, k, n_docs)
+                dfs = {t: int(g["df"].iloc[0]) for t, g in present.items()}
+                rarest = min(dfs, key=lambda t: dfs[t])
+                rows.append(
+                    (
+                        int(qid), int(chunk), decision, len(present), rarest,
+                        dfs[rarest], int(present[rarest]["n"].sum()),
+                    )
+                )
+        return self.spark.createDataFrame(rows, schema)
+
     def phrase_search(
         self,
         phrases: list[tuple[int, str]],

@@ -360,3 +360,56 @@ def test_decision_accumulators_report_auto_choices(spark, tmp_path):
     assert counts["no_selective"] == n_chunks
     assert counts["anchor_thin"] == n_chunks
     assert counts["wand"] == 0
+
+
+def test_explain_matches_decision_accumulators(spark, tmp_path):
+    """r6: BM25Index.explain() is the driver-side view of the SAME
+    cost decisions the scorer makes — its per-reason counts must equal
+    the decision accumulators from an actual auto search, including a
+    corpus where some chunks genuinely choose WAND."""
+    from collections import Counter
+
+    from eaststorm_searchengine_spark.operators.bm25 import (
+        BM25Index,
+        DECISION_REASONS,
+    )
+    from eaststorm_searchengine_spark.operators.index_build import build_index
+
+    # 600 docs: "common" everywhere; "niche" in 60 docs spread across
+    # the id range (df*10 == n_docs -> selective, and with chunk_bits
+    # sized to 2 chunks each chunk holds ~30 niche postings >= k)
+    docs = spark.createDataFrame(
+        [
+            (i, "common filler " + ("niche " if i % 10 == 0 else "") + "words here")
+            for i in range(600)
+        ],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "idx")
+    build_index(spark, docs, out)
+    idx = BM25Index(spark, out)
+    queries = [
+        (1, "niche common"),   # wand: selective anchor with df/chunk >= k
+        (2, "common words"),   # no_selective: both terms dense
+        (3, "common"),         # single_term
+        (4, "niche"),          # single_term
+    ]
+    acc = {r: spark.sparkContext.accumulator(0) for r in DECISION_REASONS}
+    idx.search(queries, k=5, method="auto", decision_acc=acc).collect()
+    from_acc = {r: a.value for r, a in acc.items()}
+
+    exp = idx.explain(queries, k=5).collect()
+    from_explain = Counter(r.decision for r in exp)
+    assert {r: from_explain.get(r, 0) for r in DECISION_REASONS} == from_acc
+    # the wand rows carry the anchor evidence the rule tested
+    wand_rows = [r for r in exp if r.decision == "wand"]
+    assert wand_rows and all(
+        r.rarest_term == "niche" and r.rarest_chunk_postings >= 5
+        for r in wand_rows
+    )
+    # per-(query, chunk) coverage: every chunk-with-hits appears once
+    n_chunks = idx._segs_df.select("chunk").distinct().count()
+    assert len(exp) == len(queries) * n_chunks
+    assert len({(r.query_id, r.chunk) for r in exp}) == len(exp)
+    # empty-analysis query set -> empty frame, stable schema
+    assert idx.explain([(9, "???")]).count() == 0
