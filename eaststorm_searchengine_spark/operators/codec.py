@@ -38,6 +38,63 @@ def vb_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def vb_encode_segmented(
+    values: np.ndarray, seg_starts: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Varbyte-encode MANY concatenated segments in ONE vectorized pass.
+
+    Returns ``(buf, offsets)`` where ``offsets`` has ``len(seg_starts)
+    + 1`` entries and segment k's bytes are ``buf[offsets[k]:
+    offsets[k+1]]`` — byte-identical to calling :func:`vb_encode` on
+    each segment separately (the wire format is per-value, so segment
+    boundaries don't change any byte).  Motivation: a realistic
+    vocabulary makes the segment encoder emit hundreds of thousands of
+    TINY (term, chunk) runs, and per-call numpy fixed overhead (~0.4 ms
+    across the four codec calls) dominated the build; one shared pass
+    costs the same as one big call plus ~1 µs of slicing per segment.
+    Zero-length segments yield ``b""`` naturally."""
+    a = np.asarray(values, dtype=np.uint64)
+    seg_starts = np.asarray(seg_starts, dtype=np.int64)
+    if a.size == 0:
+        return b"", np.zeros(seg_starts.size + 1, dtype=np.int64)
+    nbytes = np.ones(a.size, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += (a >= np.uint64(t)).astype(np.int64)
+    cum = np.empty(a.size + 1, dtype=np.int64)
+    cum[0] = 0
+    np.cumsum(nbytes, out=cum[1:])
+    ends = cum[1:] - 1
+    out = np.zeros(int(cum[-1]), dtype=np.uint8)
+    max_nb = int(nbytes.max())
+    for j in range(max_nb):  # j = byte offset from the end of each value
+        mask = nbytes > j
+        vals = (a[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        pos = ends[mask] - j
+        out[pos] = vals.astype(np.uint8)
+    out[ends] |= 0x80  # terminator bit on last byte of each value
+    offsets = np.empty(seg_starts.size + 1, dtype=np.int64)
+    offsets[:-1] = cum[seg_starts]
+    offsets[-1] = cum[-1]
+    return out.tobytes(), offsets
+
+
+def delta_encode_segmented(
+    sorted_ids: np.ndarray, seg_starts: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Per-segment delta-gap + varbyte in one pass: each segment's
+    first value stays absolute (``gaps[start] = a[start]``), matching
+    :func:`delta_encode` called per segment."""
+    a = np.asarray(sorted_ids, dtype=np.uint64)
+    seg_starts = np.asarray(seg_starts, dtype=np.int64)
+    if a.size == 0:
+        return b"", np.zeros(seg_starts.size + 1, dtype=np.int64)
+    gaps = np.empty_like(a)
+    gaps[0] = a[0]
+    gaps[1:] = a[1:] - a[:-1]
+    gaps[seg_starts] = a[seg_starts]
+    return vb_encode_segmented(gaps, seg_starts)
+
+
 def vb_decode(buf: bytes) -> np.ndarray:
     """Decode a varbyte buffer → uint64 array."""
     if not buf:

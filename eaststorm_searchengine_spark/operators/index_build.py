@@ -242,18 +242,22 @@ def _encode_blocks(
 
 
 def _encode_bucket_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One (bucket, chunk) shuffle group → block rows for EVERY term
-    run inside it.  The group is sorted once by (term, doc_id) and the
-    term runs are found with one vectorized boundary scan — no
-    per-term pandas objects.  (r6: the encoder used to be one
-    applyInPandas group per (bucket, term, chunk); with a realistic
-    vocabulary that is hundreds of thousands of tiny groups, and the
-    ~0.3 ms per-group Arrow/pandas overhead dominated the build — the
-    10k-term skew-bench corpus took 80 s vs 8 s for the small-vocab
-    pages corpus.  Grouping by (bucket, chunk) caps the group COUNT at
-    n_buckets × chunks while term-hash bucketing keeps each group's
-    SIZE at ~chunk_tokens/n_buckets — the bound scales with the same
-    n_buckets knob that already controls segment layout.)"""
+    """REFERENCE encoder (readable, per-run loop) — kept as the
+    byte-identity oracle for the production `_encode_bucket_chunk_vec`
+    (test_vectorized_encoder_matches_loopy_reference).
+
+    One (bucket, chunk) shuffle group → block rows for EVERY term run
+    inside it.  History of the two r6 steps this shape encodes: (a)
+    grouping used to be one applyInPandas group per (bucket, term,
+    chunk) — with a realistic vocabulary that is hundreds of thousands
+    of tiny groups and the ~0.3 ms per-group Arrow/pandas overhead
+    dominated (10k-vocab corpus: 80 s vs 8 s small-vocab); grouping by
+    (bucket, chunk) caps the group COUNT at n_buckets × chunks while
+    term-hash bucketing bounds group SIZE at ~chunk_tokens/n_buckets.
+    (b) The per-run codec calls inside the group were then the next
+    floor (~1.6 ms per tiny run × |vocab|×chunks runs) — the _vec twin
+    removes them with the segmented codec (same-session A/B on the
+    10k-vocab corpus: 14.9 → 10.6 s end-to-end)."""
     rows: list = []
     if not len(pdf):
         return pd.DataFrame(rows, columns=SEGMENT_COLS)
@@ -276,6 +280,107 @@ def _encode_bucket_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=SEGMENT_COLS)
 
 
+def _encode_bucket_chunk_vec(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Fully vectorized twin of :func:`_encode_bucket_chunk` — the
+    production encoder (byte-identical output, equality pytest-gated
+    on randomized corpora).
+
+    The loopy path costs ~1.6 ms per TINY (term, chunk) run (four
+    fixed-overhead codec calls + a pure-Python position flatten), and
+    a realistic vocabulary means hundreds of thousands of such runs —
+    ~85 % of the whole 10k-vocab build was encoder overhead.  Here the
+    whole (bucket, chunk) group is encoded in ONE pass per stream:
+    block boundaries are computed vectorized (every run start is a
+    block start, so per-block delta resets land exactly where the
+    per-run path puts them), the segmented codec
+    (:func:`codec.vb_encode_segmented`) emits one buffer + per-block
+    byte offsets, and per-block rows are cheap buffer slices.  The
+    only remaining per-element Python work is ``len()`` over the
+    position lists."""
+    if not len(pdf):
+        return pd.DataFrame([], columns=SEGMENT_COLS)
+    pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+    n = len(pdf)
+    return _encode_sorted_runs(
+        pdf["term"].to_numpy(),
+        np.full(n, int(pdf["bucket"].iloc[0]), dtype=np.int64),
+        np.full(n, int(pdf["chunk"].iloc[0]), dtype=np.int64),
+        pdf["doc_id"].to_numpy(dtype=np.int64),
+        pdf["tf"].to_numpy(dtype=np.int64),
+        pdf["dl"].to_numpy(dtype=np.int64),
+        pdf["positions"].tolist(),
+    )
+
+
+def _encode_sorted_runs(
+    terms: np.ndarray,
+    buckets: np.ndarray,
+    chunks: np.ndarray,
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    pos_all: list,
+) -> pd.DataFrame:
+    """Shared vectorized core: posting streams already grouped into
+    contiguous (term, chunk) runs (equal terms adjacent, doc ids
+    ascending within a run; ``buckets``/``chunks`` constant within a
+    run) → block rows.  Every run start is a block start, so per-block
+    delta resets land exactly where the per-run loopy path puts them;
+    block boundaries, metadata (reduceat) and all four byte streams
+    (segmented codec) are computed without a per-run Python loop."""
+    n = len(docs)
+    if n == 0:
+        return pd.DataFrame([], columns=SEGMENT_COLS)
+    new_run = np.r_[True, (terms[1:] != terms[:-1]) | (chunks[1:] != chunks[:-1])]
+    run_starts = np.flatnonzero(new_run)
+    run_of = np.cumsum(new_run) - 1  # run index per element
+    idx_in_run = np.arange(n) - run_starts[run_of]
+    block_starts = np.flatnonzero(idx_in_run % BLOCK == 0)
+    nb = block_starts.size
+    block_ends = np.empty(nb, dtype=np.int64)
+    block_ends[:-1] = block_starts[1:]
+    block_ends[-1] = n
+    docs_buf, docs_off = codec.delta_encode_segmented(docs, block_starts)
+    tfs_buf, tfs_off = codec.vb_encode_segmented(tfs, block_starts)
+    dls_buf, dls_off = codec.vb_encode_segmented(dls, block_starts)
+    counts = np.fromiter((len(p) for p in pos_all), dtype=np.int64, count=n)
+    pcum = np.empty(n + 1, dtype=np.int64)
+    pcum[0] = 0
+    np.cumsum(counts, out=pcum[1:])
+    if pcum[-1]:
+        flat = np.concatenate(pos_all).astype(np.uint64)
+        d = np.empty_like(flat)
+        d[0] = flat[0]
+        d[1:] = flat[1:] - flat[:-1]
+        post_starts = pcum[:-1][counts > 0]
+        d[post_starts] = flat[post_starts]  # prev resets to 0 per posting
+        pos_buf, pos_off = codec.vb_encode_segmented(d, pcum[block_starts])
+    else:
+        pos_buf, pos_off = b"", np.zeros(nb + 1, dtype=np.int64)
+    mvd, mvt, mvl, mvp = map(memoryview, (docs_buf, tfs_buf, dls_buf, pos_buf))
+    return pd.DataFrame(
+        {
+            "bucket": buckets[block_starts],
+            "term": terms[block_starts],
+            "chunk": chunks[block_starts],
+            "first_doc": docs[block_starts],
+            "last_doc": docs[block_ends - 1],
+            "n": block_ends - block_starts,
+            "max_tf": np.maximum.reduceat(tfs, block_starts),
+            "min_dl": np.minimum.reduceat(dls, block_starts),
+            "bytes": (
+                np.diff(docs_off) + np.diff(tfs_off)
+                + np.diff(dls_off) + np.diff(pos_off)
+            ),
+            "docs": [bytes(mvd[docs_off[i]:docs_off[i + 1]]) for i in range(nb)],
+            "tfs": [bytes(mvt[tfs_off[i]:tfs_off[i + 1]]) for i in range(nb)],
+            "dls": [bytes(mvl[dls_off[i]:dls_off[i + 1]]) for i in range(nb)],
+            "pos": [bytes(mvp[pos_off[i]:pos_off[i + 1]]) for i in range(nb)],
+        },
+        columns=SEGMENT_COLS,
+    )
+
+
 def build_segments(postings: DataFrame) -> DataFrame:
     """Salted repartition-by-term-bucket → sorted, compressed block
     rows.
@@ -287,11 +392,12 @@ def build_segments(postings: DataFrame) -> DataFrame:
     unchanged — while the group COUNT stays at n_buckets × chunks
     instead of |vocab| × chunks.  applyInPandas sorts each bounded
     group by (term, doc_id) and emits ≤ ceil(run/128) block rows per
-    term run."""
+    term run (vectorized encoder; the loopy twin remains as the
+    equality-test reference)."""
     return (
         postings.filter(F.col("term").isNotNull())  # token-less-doc sentinels
         .groupBy("bucket", "chunk")
-        .applyInPandas(_encode_bucket_chunk, SEGMENT_SCHEMA)
+        .applyInPandas(_encode_bucket_chunk_vec, SEGMENT_SCHEMA)
     )
 
 
@@ -538,33 +644,51 @@ def _make_fragment_gen(text_col: str, from_html: bool, stem: bool, n_buckets: in
                 dl = len(toks)
                 for t, ps in seen.items():
                     acc.setdefault(t, []).append((did, len(ps), dl, ps))
-            rows: list = []
-            for t in acc:
-                entries = acc[t]  # already doc-id ordered (input sorted)
-                d = np.fromiter((e[0] for e in entries), dtype=np.int64, count=len(entries))
-                tf = np.fromiter((e[1] for e in entries), dtype=np.int64, count=len(entries))
-                dl_arr = np.fromiter((e[2] for e in entries), dtype=np.int64, count=len(entries))
-                pos = [e[3] for e in entries]
-                _encode_blocks(_bucket_of(t, n_buckets), t, chunk, d, tf, dl_arr, pos, rows)
-            # reserved doclens row for this batch
-            rows.append(
-                {
-                    "bucket": 0,
-                    "term": DOCLEN_TERM,
-                    "chunk": chunk,
-                    "first_doc": int(ids[0]),
-                    "last_doc": int(ids[-1]),
-                    "n": int(ids.size),
-                    "max_tf": 0,
-                    "min_dl": 0,
-                    "bytes": 0,
-                    "docs": codec.delta_encode(ids.astype(np.uint64)),
-                    "tfs": b"",
-                    "dls": codec.vb_encode(dls.astype(np.uint64)),
-                    "pos": b"",
-                }
+            # one vectorized encode for the WHOLE batch (r6: the
+            # per-term loop paid four fixed-overhead codec calls per
+            # run — see _encode_sorted_runs); entries per term are
+            # already doc-id ordered (input sorted), and concatenating
+            # term-by-term keeps runs contiguous
+            tkeys = list(acc)
+            cnts = np.fromiter((len(acc[t]) for t in tkeys), dtype=np.int64, count=len(tkeys))
+            total = int(cnts.sum())
+            frame = _encode_sorted_runs(
+                np.repeat(np.array(tkeys, dtype=object), cnts),
+                np.repeat(
+                    np.fromiter(
+                        (_bucket_of(t, n_buckets) for t in tkeys),
+                        dtype=np.int64, count=len(tkeys),
+                    ),
+                    cnts,
+                ),
+                np.full(total, chunk, dtype=np.int64),
+                np.fromiter((e[0] for t in tkeys for e in acc[t]), dtype=np.int64, count=total),
+                np.fromiter((e[1] for t in tkeys for e in acc[t]), dtype=np.int64, count=total),
+                np.fromiter((e[2] for t in tkeys for e in acc[t]), dtype=np.int64, count=total),
+                [e[3] for t in tkeys for e in acc[t]],
             )
-            yield pd.DataFrame(rows, columns=SEGMENT_COLS)
+            # reserved doclens row for this batch
+            doclen_row = pd.DataFrame(
+                [
+                    {
+                        "bucket": 0,
+                        "term": DOCLEN_TERM,
+                        "chunk": chunk,
+                        "first_doc": int(ids[0]),
+                        "last_doc": int(ids[-1]),
+                        "n": int(ids.size),
+                        "max_tf": 0,
+                        "min_dl": 0,
+                        "bytes": 0,
+                        "docs": codec.delta_encode(ids.astype(np.uint64)),
+                        "tfs": b"",
+                        "dls": codec.vb_encode(dls.astype(np.uint64)),
+                        "pos": b"",
+                    }
+                ],
+                columns=SEGMENT_COLS,
+            )
+            yield pd.concat([frame, doclen_row], ignore_index=True)
 
     return gen
 

@@ -269,3 +269,53 @@ def test_skew_corpus_deterministic_and_hot_fraction(spark):
     u = sorted(corpus_mod.synthesize_skew_docs(spark, 400, hot_fraction=0.0).collect())
     assert all(len(t.split()) == len(ut.split()) for (_, t), (_, ut) in zip(a, u))
     assert not any(t.split()[0] == hot for _, t in u)
+
+
+def test_vectorized_encoder_matches_loopy_reference():
+    """r6: `_encode_bucket_chunk_vec` (production) is byte-identical to
+    the per-run loopy `_encode_blocks` path on randomized groups —
+    tiny runs, multi-block runs, empty position lists, adversarial
+    doc-id gaps (varbyte width boundaries)."""
+    import numpy as np
+    import pandas as pd
+
+    from eaststorm_searchengine_spark.operators.index_build import (
+        _encode_bucket_chunk,
+        _encode_bucket_chunk_vec,
+    )
+
+    rng = np.random.RandomState(1234)
+
+    def group(n_terms, max_run, id_space, empty_pos_frac=0.0):
+        rows = []
+        for t in range(n_terms):
+            run = int(rng.randint(1, max_run + 1))
+            docs = np.unique(rng.randint(0, id_space, size=run * 2, dtype=np.int64))[:run]
+            for d in docs:
+                tf = int(rng.randint(1, 6))
+                if rng.rand() < empty_pos_frac:
+                    pos = np.array([], dtype=np.int64)
+                else:
+                    pos = np.sort(rng.choice(10_000, tf, replace=False)).astype(np.int64)
+                rows.append(
+                    {
+                        "bucket": 5, "term": f"w{t:05d}", "chunk": 9,
+                        "doc_id": int(d), "tf": tf, "dl": int(rng.randint(1, 400)),
+                        "positions": pos,
+                    }
+                )
+        return pd.DataFrame(rows).sample(frac=1, random_state=7).reset_index(drop=True)
+
+    cases = [
+        group(300, 2, 100_000),                      # tiny runs (the hot case)
+        group(3, 1000, 1_000_000),                   # multi-block runs
+        group(40, 60, 1 << 40),                      # wide ids (multi-byte varbyte)
+        group(25, 30, 5_000, empty_pos_frac=0.4),    # empty position lists
+        pd.DataFrame([], columns=["bucket", "term", "chunk", "doc_id", "tf", "dl", "positions"]),
+    ]
+    for i, pdf in enumerate(cases):
+        a = _encode_bucket_chunk(pdf.copy())
+        b = _encode_bucket_chunk_vec(pdf.copy())
+        assert len(a) == len(b), i
+        for col in a.columns:
+            assert a[col].tolist() == b[col].tolist(), (i, col)
