@@ -994,9 +994,10 @@ def _oracle_aux_paths(sf_dir: str = _ORACLE_SF) -> dict:
         paths["composite_topk"],
     )
     try:
-        n_vecs, sum_vec_ids = _ann_aux_tables(paths, sf_dir)
+        n_vecs, sum_vec_ids, ann_info = _ann_aux_tables(paths, sf_dir)
         ann_ok = True
-    except _AnnAuxUnsupported:
+    except _AnnAuxUnsupported as exc:
+        ann_info = {"degrade_reason": str(exc)}
         # empty placeholders keep the existence check satisfied; the
         # ann_approx entry degrades to rows-only (oracle_sql checks
         # the flag) instead of failing spuriously at >100k vectors
@@ -1009,7 +1010,7 @@ def _oracle_aux_paths(sf_dir: str = _ORACLE_SF) -> dict:
     seeds = [textproc.normalize_seed(u) for u in sorted(urls)[:2]]
     meta = {"n_docs": n_docs, "sum_ids": sum_ids, "sum_lens": sum_lens,
             "seeds": seeds, "n_vecs": n_vecs, "sum_vec_ids": sum_vec_ids,
-            "ann_oracle_ok": ann_ok}
+            "ann_oracle_ok": ann_ok, "ann_aux_info": ann_info}
     with open(meta_path, "w") as fh:
         json.dump(meta, fh)
     return {**paths, **meta}
@@ -1031,7 +1032,8 @@ def _ann_aux_tables(paths: dict, sf_dir: str) -> tuple[int, int]:
     and rank tail of BOTH approximate paths are verified end-to-end.
     The IVF fit is reproducible here because IVFIndex sorts its
     fit sample by vec_id (r5).  Returns the embeddings fingerprint
-    (count, Σvec_id) for the oracle guard."""
+    (count, Σvec_id) for the oracle guard plus an info dict
+    (sub-margin dot count) surfaced in aux metadata."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -1058,25 +1060,72 @@ def _ann_aux_tables(paths: dict, sf_dir: str) -> tuple[int, int]:
     all_planes = [_hyperplanes(V.shape[1], n_planes, seed=seed + t) for t in range(n_tables)]
     weights = 1 << np.arange(n_planes, dtype=np.int64)
     dots = V @ np.vstack(all_planes).T  # == _multi_sig_col's matmul
-    # ulp-margin guard (ADVICE r05 #2): the engine computes these dots
-    # per Arrow batch while the aux uses one full-matrix gemm; BLAS
-    # summation order can differ in the last ulp across shapes/threads,
-    # and a dot at ~0 could then flip a sign bit between the two sides.
-    # Require every |dot| to clear a margin far above ulp noise
-    # (relative to the row's absolute mass), else degrade loudly.
+    id_pos = {int(v): i for i, v in enumerate(ids)}
+    # query vectors go through the same float32→float64 hop the engine's
+    # collect() round-trip applies; probe sigs use the per-plane dot the
+    # engine's query path uses (lsh_cosine_topk qrows loop)
+    qarrs = {
+        qid: np.asarray([float(np.float32(x)) for x in V[id_pos[qid]]], dtype=np.float64)
+        for qid in ANN_QUERY_IDS
+    }
+    pr_q, pr_t, pr_b = [], [], []
+    probed: list[set] = [set() for _ in range(n_tables)]
+    for qid in ANN_QUERY_IDS:
+        arr = qarrs[qid]
+        for t, planes in enumerate(all_planes):
+            sig = 0
+            for i, p in enumerate(planes):
+                if float(arr @ p) > 0:
+                    sig |= 1 << i
+            for pb in sorted({sig} | {sig ^ (1 << i) for i in range(n_planes)}):
+                pr_q.append(qid)
+                pr_t.append(t)
+                pr_b.append(int(pb))
+                probed[t].add(int(pb))
+    # ulp-margin guard (ADVICE r05 #2, narrowed per ADVICE r06 #3): the
+    # engine computes these dots per Arrow batch while the aux uses one
+    # full-matrix gemm; BLAS summation order can differ in the last ulp
+    # across shapes/threads, and a dot at ~0 could then flip a sign bit
+    # between the two sides.  A flipped bit only changes the ORACLE'S
+    # ANSWER if some resulting signature lands in (or leaves) a probed
+    # bucket — so instead of abandoning the oracle corpus-wide on the
+    # first marginal dot, enumerate each marginal vector's candidate
+    # signatures over its sub-margin planes and degrade only when one
+    # touches a probed bucket for that table.  The count of sub-margin
+    # dots is surfaced in aux metadata either way (loud, visible).
     # All-zero vectors are exempt (code-review r06): their dots are
     # exactly 0.0 in every summation order (all products are ±0), so
     # the sign bit (0 > 0 == False) IS reproducible.
     row_mass = np.abs(V).sum(axis=1, keepdims=True)
-    nonzero = (row_mass > 0.0).ravel()
-    if nonzero.any() and float(
-        (np.abs(dots[nonzero]) / row_mass[nonzero]).min()
-    ) < 1e-9:
-        raise _AnnAuxUnsupported(
-            "LSH hyperplane dot within ulp noise of 0 — sign bits not "
-            "reproducible across summation orders"
-        )
+    rel = np.abs(dots) / np.where(row_mass > 0.0, row_mass, 1.0)
+    rel[~(row_mass > 0.0).ravel(), :] = np.inf  # zero rows exempt
+    marginal = rel < 1e-9  # (n_rows, n_tables*n_planes)
+    n_submargin = int(marginal.sum())
     bits = dots > 0
+    if n_submargin:
+        for row, t in {
+            (int(r), int(c) // n_planes) for r, c in zip(*np.nonzero(marginal))
+        }:
+            lo, hi = t * n_planes, (t + 1) * n_planes
+            m_idx = np.flatnonzero(marginal[row, lo:hi])
+            if m_idx.size > 8:  # combinatorial blow-up — give up loudly
+                raise _AnnAuxUnsupported(
+                    f"vector {int(ids[row])} has {m_idx.size} sub-margin "
+                    f"dots in table {t} — sign bits not reproducible"
+                )
+            base = int((bits[row, lo:hi] * weights).sum())
+            for combo in range(1 << m_idx.size):
+                cand = base
+                for j, pi in enumerate(m_idx):
+                    if (combo >> j) & 1:
+                        cand ^= 1 << int(pi)
+                if cand in probed[t]:
+                    raise _AnnAuxUnsupported(
+                        f"sub-margin LSH dot on vector {int(ids[row])} "
+                        f"table {t}: candidate signature {cand} touches a "
+                        "probed bucket — sign bit not reproducible across "
+                        "summation orders"
+                    )
     sig_doc, sig_tbl, sig_bkt = [], [], []
     for t in range(n_tables):
         sigs = (bits[:, t * n_planes:(t + 1) * n_planes] * weights[None, :]).sum(axis=1)
@@ -1089,26 +1138,6 @@ def _ann_aux_tables(paths: dict, sf_dir: str) -> tuple[int, int]:
                   "bucket": pa.array(sig_bkt, type=pa.int64())}),
         paths["ann_lsh_sigs"],
     )
-    id_pos = {int(v): i for i, v in enumerate(ids)}
-    # query vectors go through the same float32→float64 hop the engine's
-    # collect() round-trip applies; probe sigs use the per-plane dot the
-    # engine's query path uses (lsh_cosine_topk qrows loop)
-    qarrs = {
-        qid: np.asarray([float(np.float32(x)) for x in V[id_pos[qid]]], dtype=np.float64)
-        for qid in ANN_QUERY_IDS
-    }
-    pr_q, pr_t, pr_b = [], [], []
-    for qid in ANN_QUERY_IDS:
-        arr = qarrs[qid]
-        for t, planes in enumerate(all_planes):
-            sig = 0
-            for i, p in enumerate(planes):
-                if float(arr @ p) > 0:
-                    sig |= 1 << i
-            for pb in sorted({sig} | {sig ^ (1 << i) for i in range(n_planes)}):
-                pr_q.append(qid)
-                pr_t.append(t)
-                pr_b.append(int(pb))
     pq.write_table(
         pa.table({"query_id": pa.array(pr_q, type=pa.int32()),
                   "tbl": pa.array(pr_t, type=pa.int32()),
@@ -1138,14 +1167,30 @@ def _ann_aux_tables(paths: dict, sf_dir: str) -> tuple[int, int]:
     # rows are exempt (code-review r06): their dots are exactly 0 in
     # every summation order, so the affinity is the exact constant
     # -half_sq and the argmax is reproducible regardless of margin.
-    part = np.partition(aff_all, -2, axis=1)
-    margins = part[:, -1] - part[:, -2]
+    # ADVICE r06 #2: (a) a single center makes the argmax trivially
+    # reproducible — np.partition(-2) would raise a bare ValueError;
+    # (b) a sub-margin runner-up whose center is BITWISE IDENTICAL to
+    # the winner is an exact tie (same inputs → bitwise-equal affinity
+    # in every summation order) that argmax breaks identically on both
+    # sides (first index) — only a DISTINCT center inside the margin is
+    # genuine ulp risk.
     nz_rows = norms > 0
-    if nz_rows.any() and float(margins[nz_rows].min()) < 1e-9:
-        raise _AnnAuxUnsupported(
-            "IVF argmax runner-up margin within ulp noise — list "
-            "assignment not reproducible across summation orders"
-        )
+    if centers.shape[0] >= 2 and nz_rows.any():
+        part = np.partition(aff_all, -2, axis=1)
+        margins = part[:, -1] - part[:, -2]
+        for row in np.flatnonzero(nz_rows & (margins < 1e-9)):
+            aff = aff_all[row]
+            i_max = int(np.argmax(aff))
+            for j in np.flatnonzero(aff > aff[i_max] - 1e-9):
+                if int(j) != i_max and not np.array_equal(
+                    centers[int(j)], centers[i_max]
+                ):
+                    raise _AnnAuxUnsupported(
+                        f"IVF argmax runner-up margin within ulp noise on "
+                        f"vector {int(ids[row])} (lists {i_max} vs {int(j)} "
+                        "distinct) — assignment not reproducible across "
+                        "summation orders"
+                    )
     assign = np.argmax(aff_all, axis=1)
     pq.write_table(
         pa.table({"vec_id": pa.array([int(v) for v in ids], type=pa.int64()),
@@ -1166,7 +1211,9 @@ def _ann_aux_tables(paths: dict, sf_dir: str) -> tuple[int, int]:
                   "list_id": pa.array(ip_l, type=pa.int32())}),
         paths["ann_ivf_probes"],
     )
-    return len(ids), int(ids.sum())
+    # lsh_submargin_dots: visible record of how close the corpus came
+    # to the ulp guard even when the oracle stays on (ADVICE r06 #3)
+    return len(ids), int(ids.sum()), {"lsh_submargin_dots": n_submargin}
 
 
 def _media_aux_tables(paths: dict, docs: list) -> None:

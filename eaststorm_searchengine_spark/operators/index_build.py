@@ -93,6 +93,28 @@ def adaptive_chunk_bits(n_docs: int, parallelism: int) -> int:
 BLOCK = 128  # postings per block (classic block-max WAND block size)
 DEFAULT_BUCKETS = 16
 
+# Upper bound on postings materialized in one encode group (ADVICE r06):
+# at the production 2^18 chunk span with a realistic web avgdl, a plain
+# (bucket, chunk) group holds ~chunk_docs×unique_terms/n_buckets postings
+# *including position lists* in a single pandas frame — millions of rows
+# per task.  Groups expected to exceed this are re-split on a term-hash
+# sub-key (term runs stay whole, so output bytes are identical).
+MAX_GROUP_POSTINGS = 1 << 21  # ~2M postings ≈ low hundreds of MB w/ positions
+
+
+def group_subsplits(
+    n_docs: int, avgdl: float, chunk_bits: int, n_buckets: int,
+    max_group: int = MAX_GROUP_POSTINGS,
+) -> int:
+    """Number of term-hash sub-splits per (bucket, chunk) encode group
+    so the expected per-group posting mass stays under ``max_group``.
+    ``avgdl`` (tokens/doc) upper-bounds unique-terms/doc, so this is a
+    safe overestimate of postings/doc.  Returns 1 (no extra salt) at
+    sandbox scales; ~3 at the production 2^18 span with web avgdl."""
+    chunk_docs = min(max(n_docs, 1), 1 << chunk_bits)
+    expected = chunk_docs * max(avgdl, 1.0) / max(n_buckets, 1)
+    return max(1, -(-int(expected) // max_group))
+
 # Block metadata stores (max_tf, min_dl) rather than a precomputed
 # tf-norm: tfnorm(tf, dl) is monotone ↑ in tf and ↓ in dl, so
 # tfnorm(max_tf, min_dl) is a valid block-max WAND upper bound computed
@@ -381,7 +403,7 @@ def _encode_sorted_runs(
     )
 
 
-def build_segments(postings: DataFrame) -> DataFrame:
+def build_segments(postings: DataFrame, n_sub: int = 1) -> DataFrame:
     """Salted repartition-by-term-bucket → sorted, compressed block
     rows.
 
@@ -393,12 +415,24 @@ def build_segments(postings: DataFrame) -> DataFrame:
     instead of |vocab| × chunks.  applyInPandas sorts each bounded
     group by (term, doc_id) and emits ≤ ceil(run/128) block rows per
     term run (vectorized encoder; the loopy twin remains as the
-    equality-test reference)."""
-    return (
-        postings.filter(F.col("term").isNotNull())  # token-less-doc sentinels
-        .groupBy("bucket", "chunk")
-        .applyInPandas(_encode_bucket_chunk_vec, SEGMENT_SCHEMA)
-    )
+    equality-test reference).
+
+    ``n_sub`` (ADVICE r06, see :func:`group_subsplits`): when the
+    expected per-group posting mass exceeds ``MAX_GROUP_POSTINGS``, the
+    group is further salted on a term-hash sub-key (murmur3 ``F.hash``
+    — independent of the blake2b bucket hash, so terms inside one
+    bucket spread across sub-keys).  A term's run for a chunk still
+    lands entirely in one group, so the emitted block rows — and the
+    stored bytes — are identical for any ``n_sub`` (equality
+    pytest-gated); only the shuffle-group size changes."""
+    filtered = postings.filter(F.col("term").isNotNull())  # token-less-doc sentinels
+    if n_sub > 1:
+        grouped = filtered.withColumn(
+            "_sub", F.pmod(F.hash("term"), F.lit(n_sub))
+        ).groupBy("bucket", "chunk", "_sub")
+    else:
+        grouped = filtered.groupBy("bucket", "chunk")
+    return grouped.applyInPandas(_encode_bucket_chunk_vec, SEGMENT_SCHEMA)
 
 
 def _doclens_from_postings(staged: DataFrame) -> DataFrame:
@@ -493,9 +527,9 @@ def build_index(
     n_docs = int(agg["n_docs"])
     avgdl = float(agg["avgdl"] or 0.0)
 
-    build_segments(staged).write.mode("overwrite").partitionBy("bucket").parquet(
-        paths.segments
-    )
+    build_segments(
+        staged, n_sub=group_subsplits(n_docs, avgdl, chunk_bits, n_buckets)
+    ).write.mode("overwrite").partitionBy("bucket").parquet(paths.segments)
     term_stats, _ = _finalize(spark, paths)
 
     stats = {
@@ -569,7 +603,10 @@ def build_index_resumable(
             ensure_parallelism(part_docs), id_col, text_col,
             n_buckets=n_buckets, chunk_bits=chunk_bits,
         )
-        build_segments(part_postings).write.mode("overwrite").parquet(
+        build_segments(
+            part_postings,
+            n_sub=group_subsplits(n_docs, avgdl, chunk_bits, n_buckets),
+        ).write.mode("overwrite").parquet(
             os.path.join(paths.segments, f"part={j}")
         )
         fsio.write_text(
@@ -871,11 +908,13 @@ def compact_index(
         part = spark.read.parquet(IndexPaths(r).segments).select(*SEGMENT_COLS)
         seg = part if seg is None else seg.unionByName(part)
     n_docs_est = 0
+    tokens_est = 0.0
     stems: set[bool] = set()
     bucket_counts: set[int] = set()
     for r in src_roots:
         st = json.loads(fsio.read_text(spark, IndexPaths(r).stats))
         n_docs_est += int(st["n_docs"])
+        tokens_est += float(st.get("avgdl", 0.0)) * int(st["n_docs"])
         stems.add(bool(st.get("stem", False)))
         bucket_counts.add(int(st.get("n_buckets", DEFAULT_BUCKETS)))
     # merging indexes with different analyzers or bucket layouts would
@@ -900,9 +939,12 @@ def compact_index(
         "chunk",
         F.floor(F.col("doc_id") / F.lit(1 << chunk_bits)).cast("long"),
     )
-    build_segments(postings).write.mode("overwrite").partitionBy("bucket").parquet(
-        paths.segments
-    )
+    build_segments(
+        postings,
+        n_sub=group_subsplits(
+            n_docs_est, tokens_est / max(n_docs_est, 1), chunk_bits, n_buckets
+        ),
+    ).write.mode("overwrite").partitionBy("bucket").parquet(paths.segments)
     dls = None
     for r in src_roots:
         part = spark.read.parquet(IndexPaths(r).doclens)

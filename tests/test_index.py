@@ -319,3 +319,52 @@ def test_vectorized_encoder_matches_loopy_reference():
         assert len(a) == len(b), i
         for col in a.columns:
             assert a[col].tolist() == b[col].tolist(), (i, col)
+
+
+def test_group_subsplits_rule():
+    """ADVICE r06: expected per-(bucket, chunk) posting mass must be
+    bounded by MAX_GROUP_POSTINGS via term-hash sub-splits."""
+    from eaststorm_searchengine_spark.operators.index_build import (
+        MAX_GROUP_POSTINGS,
+        group_subsplits,
+    )
+
+    # sandbox scale: no extra salt
+    assert group_subsplits(1_000_000, 40.0, 15, 16) == 1
+    # production shape: 2^18-doc chunks, web avgdl ~300 → mass ~4.9M/group
+    n = group_subsplits(10**12, 300.0, 18, 16)
+    assert n >= 2
+    assert (1 << 18) * 300.0 / 16 / n <= MAX_GROUP_POSTINGS
+    # monotone in avgdl, bounded below by 1
+    assert group_subsplits(100, 5.0, 18, 16) == 1
+    # chunk span caps the per-chunk doc count even for huge corpora
+    assert group_subsplits(10**12, 300.0, 10, 16) == 1
+
+
+def test_build_segments_subsplit_byte_identical(spark):
+    """Sub-splitting the encode groups on a term-hash salt must not
+    change a single stored byte — every (term, chunk) run still lands
+    whole in exactly one group."""
+    from eaststorm_searchengine_spark.operators.index_build import (
+        build_segments,
+        doc_postings,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    postings = doc_postings(docs, "doc_id", "text", n_buckets=4, chunk_bits=6)
+
+    def rows(n_sub):
+        out = build_segments(postings, n_sub=n_sub).collect()
+        return sorted(
+            (
+                r["bucket"], r["term"], r["chunk"], r["first_doc"],
+                r["last_doc"], r["n"], r["max_tf"], r["min_dl"], r["bytes"],
+                bytes(r["docs"]), bytes(r["tfs"]), bytes(r["dls"]), bytes(r["pos"]),
+            )
+            for r in out
+        )
+
+    base = rows(1)
+    assert len(base) > 50
+    assert rows(4) == base
+    assert rows(7) == base
