@@ -183,21 +183,40 @@ def main() -> None:
     idx = BM25Index(spark, idx_dir)
 
     # ---- query latency: batch + per-query p50 ------------------------
-    timed("bm25_batch12", lambda: idx.search(E.QUERY_SET, k=10).collect())
-    timed("bm25_batch12_wand", lambda: idx.search(E.QUERY_SET, k=10, method="wand").collect())
+    timed("bm25_batch12", lambda: idx.search(E.QUERY_SET, k=10).collect(), label=True)
+    timed("bm25_batch12_wand", lambda: idx.search(E.QUERY_SET, k=10, method="wand").collect(), label=True)
     # single-query p50 uses the fused one-job plan (driver-side merge of
     # the ≤ chunks×k candidates into a VALUES LocalRelation — results
     # pytest-gated identical to the distributed window rank that the
     # batch path keeps); best-of-2 per query like every other entry
     # (hypervisor-steal bursts hit single 1 s jobs hardest)
-    lat = []
-    for qid, q in E.QUERY_SET:
-        per = []
-        for _ in range(2):
-            t0 = time.time()
-            idx.search([(qid, q)], k=10, final_rank="driver").collect()
-            per.append(time.time() - t0)
-        lat.append(min(per))
+    def p50_loop(prev=None):
+        out = []
+        for i, (qid, q) in enumerate(E.QUERY_SET):
+            per = []
+            for _ in range(2):
+                t0 = time.time()
+                idx.search([(qid, q)], k=10, final_rank="driver").collect()
+                per.append(time.time() - t0)
+            best = min(per)
+            out.append(min(best, prev[i]) if prev else best)
+        return out
+
+    # headline metric (query_p50_sec): canary-bracketed + guarded
+    # re-measure like the index-build entries (VERDICT r06 #3 — it
+    # drifted to 0.956 s unguarded in the r6 window)
+    p50_worst = canary()
+    lat = p50_loop()
+    p50_worst = max(p50_worst, canary())
+    extra = 0
+    while p50_worst / canary_state["base"] > 1.5 and extra < 2:
+        time.sleep(5.0)
+        p50_worst = canary()
+        lat = p50_loop(prev=lat)
+        p50_worst = max(p50_worst, canary())
+        extra += 1
+    canary_ratios["bm25_single_p50"] = round(p50_worst / canary_state["base"], 2)
+    canary_abs["bm25_single_p50"] = round(p50_worst, 3)
     query_p50 = statistics.median(lat)
     queries["bm25_single_p50"] = round(query_p50, 4)
 
@@ -244,6 +263,10 @@ def main() -> None:
         )
     sidx = BM25Index(spark, sidx_dir)
     timed("bm25_batch12_wand_1m", lambda: sidx.search(E.QUERY_SET, k=10, method="wand").collect(), label=True)
+    # the product path (auto) as ONE job: batch amortization evidence
+    # for VERDICT r06 #3 — per-query cost of a 12-query batch vs the
+    # single-query p50 below
+    timed("bm25_batch12_auto_1m", lambda: sidx.search(E.QUERY_SET, k=10).collect(), label=True)
     # per-query table (VERDICT r05 #3): the r5 record had a 0.5-2.4 s
     # spread across the 12 queries — dense-vocabulary queries score
     # essentially every document.  Serving routes through the default
@@ -270,6 +293,21 @@ def main() -> None:
     )
     canary_abs["serving_1m_per_query"] = round(serving_canary_worst, 3)
     queries["bm25_single_p50_1m"] = round(statistics.median(lat_1m.values()), 4)
+    # VERDICT r06 #3: serving floor — pin the segment/stats frames
+    # (columnar executor cache, the long-lived-server configuration)
+    # and re-measure the single-query p50 against the same 1M index
+    pidx = BM25Index(spark, sidx_dir, pin=True)
+    pidx.search(E.QUERY_SET, k=10).collect()  # untimed: populate the cache
+    plat = []
+    for qid, q in E.QUERY_SET:
+        per = []
+        for _ in range(2):
+            t0 = time.time()
+            pidx.search([(qid, q)], k=10, final_rank="driver").collect()
+            per.append(time.time() - t0)
+        plat.append(min(per))
+    queries["bm25_single_p50_1m_pinned"] = round(statistics.median(plat), 4)
+    pidx.unpersist()
     serving_1m_spread = round(max(lat_1m.values()) / max(min(lat_1m.values()), 1e-9), 2)
     # the no-match control query ('zzzmissing') returns in ~0.4 s and
     # would dominate the min — the tail metric that matters is the
@@ -305,16 +343,16 @@ def main() -> None:
             )
         incremental.refresh_metadata(spark, frag_dir)
     fidx = BM25Index(spark, frag_dir)
-    timed("bm25_batch12_fragmented", lambda: fidx.search(E.QUERY_SET, k=10).collect(), repeats=2, label=True)
+    timed("bm25_batch12_fragmented", lambda: fidx.search(E.QUERY_SET, k=10).collect(), repeats=2, guard=True)
     comp_dir = os.path.join(TMP, "bench_compacted_idx")
 
     def compact_run():
         shutil.rmtree(comp_dir, ignore_errors=True)
         ib_mod.compact_index(spark, [frag_dir], comp_dir)
 
-    timed("compact_index_50frags", compact_run, repeats=1, label=True)
+    timed("compact_index_50frags", compact_run, repeats=1, guard=True)
     cidx = BM25Index(spark, comp_dir)
-    timed("bm25_batch12_compacted", lambda: cidx.search(E.QUERY_SET, k=10).collect(), repeats=2)
+    timed("bm25_batch12_compacted", lambda: cidx.search(E.QUERY_SET, k=10).collect(), repeats=2, label=True)
 
     # ---- WAND vs exhaustive through the engine on a Zipf corpus ------
     # The contract corpus's 31-term uniform vocabulary is WAND's worst
@@ -330,7 +368,9 @@ def main() -> None:
     if not os.path.exists(os.path.join(zidx_dir, "stats.json")):
         build_index(spark, spark.read.parquet(zdocs_path), zidx_dir, chunk_bits=14)
     zidx = BM25Index(spark, zidx_dir)
-    z_methods = ("exhaustive", "wand", "auto")
+    # r7 adds the vectorized MaxScore executor — the quartet evidences
+    # auto's routing choice (selective→maxscore, dense→exhaustive)
+    z_methods = ("exhaustive", "wand", "maxscore", "auto")
 
     def zipf_trio(qset, prefix: str):
         """Interleaved round-robin best-of-3 over the three executors
@@ -366,12 +406,22 @@ def main() -> None:
         for m in z_methods:
             queries[f"{prefix}{m}"] = round(best[m], 4)
         assert (
-            rows["exhaustive"] == rows["wand"] == rows["auto"]
+            rows["exhaustive"] == rows["wand"] == rows["maxscore"] == rows["auto"]
         ), f"executor results diverge ({prefix})"
         return decode, decisions
 
+    def bracketed_trio(qset, prefix: str, tag: str):
+        """zipf trios carry their own weather report too (VERDICT r06
+        #2: every entry ≥ ~1 s gets a canary ratio)."""
+        worst = canary()
+        out = zipf_trio(qset, prefix)
+        worst = max(worst, canary())
+        canary_ratios[tag] = round(worst / canary_state["base"], 2)
+        canary_abs[tag] = round(worst, 3)
+        return out
+
     zq = corpus_mod.zipf_queries(corpus_mod.ZIPF_ANCHORED_RANKS)
-    z_decode, zipf_decisions_anchored = zipf_trio(zq, "zipf_bm25_")
+    z_decode, zipf_decisions_anchored = bracketed_trio(zq, "zipf_bm25_", "zipf_trio_anchored")
     # the skip-rate evidence metric is defined on the ANCHORED set
     # (dense controls decode ~everything by design — code-review r06:
     # the mixed run was silently overwriting this before)
@@ -384,7 +434,9 @@ def main() -> None:
     zq_mixed = corpus_mod.zipf_queries(
         corpus_mod.ZIPF_ANCHORED_RANKS + corpus_mod.ZIPF_DENSE_RANKS
     )
-    zm_decode, zipf_decisions_mixed = zipf_trio(zq_mixed, "zipf_mixed_bm25_")
+    zm_decode, zipf_decisions_mixed = bracketed_trio(
+        zq_mixed, "zipf_mixed_bm25_", "zipf_trio_mixed"
+    )
     wand_decode_fraction_mixed = round(
         zm_decode["wand"][0] / max(zm_decode["wand"][1], 1), 4
     )
@@ -413,6 +465,7 @@ def main() -> None:
             os.path.join(TMP, "skew_idx_uniform"),
         ),
         repeats=2,
+        guard=True,
     )
     timed(
         "index_build_skewed",
@@ -421,6 +474,7 @@ def main() -> None:
             os.path.join(TMP, "skew_idx_hot50"),
         ),
         repeats=2,
+        guard=True,
     )
     skew_ratio = round(
         queries["index_build_skewed"] / queries["index_build_uniform"], 3
@@ -434,16 +488,16 @@ def main() -> None:
     # one corpus pass for all four url-set indexes vs the three
     # individual scans above (body+title+url; imagealt not timed solo)
     timed("field_indexes_single_pass", lambda: indexers.field_indexes(pages).count())
-    timed("pagerank", lambda: pagerank.pagerank_pipeline(pages).count())
+    timed("pagerank", lambda: pagerank.pagerank_pipeline(pages).count(), label=True)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     timed("dedup_exact", lambda: dedup.exact_dup_groups(docs).count())
     timed("dedup_prefix", lambda: dedup.prefix_dup_groups(docs).count())
     timed("minhash_pairs", lambda: dedup.minhash_candidates(docs).count())
     timed("simhash_buckets", lambda: dedup.simhash_buckets(docs).count())
     timed("simhash_near_dups", lambda: dedup.simhash_near_dups(docs).count())
-    timed("ngram_jaccard", lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.5).count(), repeats=2, label=True)
-    timed("dedup_groups", lambda: dedup.near_dup_groups(docs, threshold=0.5).count(), repeats=2, label=True)
-    timed("minhash_groups", lambda: dedup.minhash_dup_groups(docs).count(), repeats=2)
+    timed("ngram_jaccard", lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.5).count(), repeats=2, guard=True)
+    timed("dedup_groups", lambda: dedup.near_dup_groups(docs, threshold=0.5).count(), repeats=2, guard=True)
+    timed("minhash_groups", lambda: dedup.minhash_dup_groups(docs).count(), repeats=2, label=True)
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     qvecs = [
         (int(r["vec_id"]), list(r["embedding"]))
@@ -453,6 +507,7 @@ def main() -> None:
     timed(
         "embedding_near_dups_blocked",
         lambda: similarity.cosine_near_dup_pairs(emb, 0.45).count(),
+        label=True,
     )
     # approximate ANN: time it AND measure recall vs the exact top-k
     exact_top = {
@@ -466,6 +521,7 @@ def main() -> None:
         "lsh_ann_multiprobe",
         lambda: similarity.lsh_cosine_topk(emb, qvecs, k=10).collect(),
         repeats=5,
+        label=True,
     )
     lsh_recall = len({(r.query_id, r.vec_id) for r in approx_rows} & exact_top) / max(
         len(exact_top), 1
@@ -480,7 +536,7 @@ def main() -> None:
             ivf_holder["idx"].unpersist()
         ivf_holder["idx"] = similarity.IVFIndex(emb)
 
-    timed("ivf_build", ivf_build, repeats=2)
+    timed("ivf_build", ivf_build, repeats=2, label=True)
     ivf_rows = timed(
         "ivf_ann",
         lambda: ivf_holder["idx"].topk(qvecs, k=10).collect(),
@@ -513,36 +569,89 @@ def main() -> None:
         k: round(v / canary_state["base"], 2) for k, v in canary_abs.items()
     }
     total = round(sum(queries.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_suite_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "sf": SF_DIR,
-                "cores": CPUS,
-                "n_docs": n_docs,
-                "index_docs_per_sec": round(docs_per_sec, 2),
-                "query_p50_sec": round(query_p50, 4),
-                "serving_1m_scan_bucket_pruned": serving_pruned,
-                "serving_1m_per_query": lat_1m,
-                "serving_1m_spread_max_over_min": serving_1m_spread,
-                "serving_1m_spread_matching_queries": serving_1m_spread_matching,
-                "serving_chunk_bits_auto": serving_chunk_bits,
-                "zipf_wand_blocks_decoded_fraction": wand_decode_fraction,
-                "zipf_wand_blocks_decoded_fraction_mixed": wand_decode_fraction_mixed,
-                "zipf_auto_decisions_anchored": zipf_decisions_anchored,
-                "zipf_auto_decisions_mixed": zipf_decisions_mixed,
-                "skew_flood_build_ratio": skew_ratio,
-                "steal_canary_ratios": canary_ratios,
-                "steal_canary_sec": canary_abs,
-                "steal_canary_base_sec": round(canary_state["base"], 3),
-                "lsh_ann_recall_at_10": round(lsh_recall, 4),
-                "ivf_ann_recall_at_10": round(ivf_recall, 4),
-            }
-        )
-    )
+    full = {
+        "metric": "e2e_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "cores": CPUS,
+        "n_docs": n_docs,
+        "index_docs_per_sec": round(docs_per_sec, 2),
+        "query_p50_sec": round(query_p50, 4),
+        "serving_1m_scan_bucket_pruned": serving_pruned,
+        "serving_1m_per_query": lat_1m,
+        "serving_1m_spread_max_over_min": serving_1m_spread,
+        "serving_1m_spread_matching_queries": serving_1m_spread_matching,
+        "serving_chunk_bits_auto": serving_chunk_bits,
+        "zipf_wand_blocks_decoded_fraction": wand_decode_fraction,
+        "zipf_wand_blocks_decoded_fraction_mixed": wand_decode_fraction_mixed,
+        "zipf_auto_decisions_anchored": zipf_decisions_anchored,
+        "zipf_auto_decisions_mixed": zipf_decisions_mixed,
+        "skew_flood_build_ratio": skew_ratio,
+        "serving_1m_batch12_per_query_sec": round(
+            queries["bm25_batch12_auto_1m"] / len(E.QUERY_SET), 4
+        ),
+        "steal_canary_ratios": canary_ratios,
+        "steal_canary_sec": canary_abs,
+        "steal_canary_base_sec": round(canary_state["base"], 3),
+        "lsh_ann_recall_at_10": round(lsh_recall, 4),
+        "ivf_ann_recall_at_10": round(ivf_recall, 4),
+    }
+    # the COMPLETE record, committed per round (VERDICT r06 #1: the r6
+    # printed line outgrew the driver's 2000-char stdout-tail window
+    # and the official BENCH_r06.json landed front-truncated with
+    # parsed=null — per-entry tables/dicts live here, machine-readable)
+    with open(os.path.join(HERE, "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    # the printed line keeps every per-entry timing plus the headline
+    # scalars, compact-encoded; if it still exceeds the tail window,
+    # entries whose information is carried by a scalar (skew ratio,
+    # field-index family) are dropped from the LINE only, least
+    # headline first — BENCH_LOCAL.json always has all of them
+    worst_entry = max(canary_ratios, key=canary_ratios.get) if canary_ratios else ""
+    line = {
+        "metric": "e2e_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": SF_DIR,
+        "cores": CPUS,
+        "n_docs": n_docs,
+        "index_docs_per_sec": round(docs_per_sec, 2),
+        "query_p50_sec": round(query_p50, 4),
+        "serving_1m_spread_matching_queries": serving_1m_spread_matching,
+        "serving_1m_batch12_per_query_sec": round(
+            queries["bm25_batch12_auto_1m"] / len(E.QUERY_SET), 4
+        ),
+        "serving_chunk_bits_auto": serving_chunk_bits,
+        "zipf_wand_blocks_decoded_fraction": wand_decode_fraction,
+        "skew_flood_build_ratio": skew_ratio,
+        "lsh_ann_recall_at_10": round(lsh_recall, 4),
+        "ivf_ann_recall_at_10": round(ivf_recall, 4),
+        "canary_worst": {
+            "entry": worst_entry,
+            "ratio": canary_ratios.get(worst_entry, 0.0),
+        },
+        "full_record": "BENCH_LOCAL.json",
+    }
+    drop_order = [
+        "index_build_uniform", "index_build_skewed",  # → skew ratio scalar
+        "body_index", "title_index", "url_index",     # → field_indexes entry
+        "event_value_stats", "video_frame_sample", "media_features",
+        "simhash_buckets", "minhash_pairs",
+        "zipf_mixed_bm25_exhaustive", "zipf_bm25_exhaustive",
+        "ann_cosine_topk", "anchor_index",
+    ]
+    s = json.dumps(line, separators=(",", ":"))
+    dropped = 0
+    while len(s) > 1900 and drop_order:
+        line["queries"].pop(drop_order.pop(0), None)
+        dropped += 1
+        line["queries_in_full_record_only"] = dropped
+        s = json.dumps(line, separators=(",", ":"))
+    print(s)
     spark.stop()
 
 

@@ -36,6 +36,7 @@ from ..functions import sqltok
 from ..functions.hashing import term_bucket
 from . import codec
 from .index_build import IndexPaths
+from .maxscore import maxscore_topk
 from .wand import wand_topk
 
 
@@ -156,14 +157,18 @@ class BM25Index:
         distinct terms, matching the DuckDB oracle).
 
         ``method``: ``"auto"`` (default since r5) — per-query
-        cost-based choice from the broadcast df stats: WAND when a
-        selective term exists to make blocks skippable, exhaustive for
-        dense-only queries.  ``"exhaustive"`` (vectorized
-        term-at-a-time) and ``"wand"`` (block-max document-at-a-time)
-        force one executor.  All three return identical results
-        (executor equality is bitwise-tested); auto measured fastest
-        on both dense and Zipf query mixes (BASELINE.md r5), so it is
-        the production default.
+        cost-based choice from the broadcast df stats: the selective
+        block-skipping executor when a selective term exists,
+        exhaustive for dense-only queries.  Since r7 the selective
+        executor is ``"maxscore"`` (vectorized block-max MaxScore —
+        candidate waves from essential terms only, fence-pruned
+        segmented decode); ``"wand"`` (block-max document-at-a-time
+        per Ding & Suel) is retained as the north-star-named reference
+        executor, and ``"exhaustive"`` (vectorized term-at-a-time)
+        scores everything.  All four settings return identical results
+        (executor equality is bitwise-tested); at the 200k-doc Zipf
+        bench maxscore measured 1.3-1.6× exhaustive and ~4× wand
+        (BASELINE.md r7).
 
         Plan: segment scan (bucket directory pruning from the
         python-computable term hash + term predicate pushdown) ⋈
@@ -238,10 +243,19 @@ class BM25Index:
                         decision_counts[decision] = (
                             decision_counts.get(decision, 0) + 1
                         )
-                    use_wand = decision == "wand"
+                    # the "wand" decision means "a selective term makes
+                    # block skipping pay"; since r7 auto serves it with
+                    # the vectorized MaxScore executor (same skip idea,
+                    # set-at-a-time — measured 1.3-1.6x the exhaustive
+                    # executor where pure WAND's per-pivot Python loop
+                    # LOST to it, BASELINE.md r7)
+                    fn = maxscore_topk if decision == "wand" else _exhaustive_topk
+                elif method == "wand":
+                    fn = wand_topk
+                elif method == "maxscore":
+                    fn = maxscore_topk
                 else:
-                    use_wand = method == "wand"
-                fn = wand_topk if use_wand else _exhaustive_topk
+                    fn = _exhaustive_topk
                 docs_a, scores_a = fn(
                     [by_term[t] for t in present],
                     [idf[t] for t in present],
@@ -280,10 +294,11 @@ class BM25Index:
 
         Returns DataFrame(query_id, chunk, decision, n_terms_present,
         rarest_term, rarest_df, rarest_chunk_postings) where
-        ``decision`` ∈ DECISION_REASONS (``"wand"`` or the rejection
-        reason) and ``rarest_chunk_postings`` is the chunk-local Σn of
-        the rarest term — the quantity the anchor rule tests against
-        ``k``."""
+        ``decision`` ∈ DECISION_REASONS (``"wand"`` — the historical
+        key for "a selective term makes block skipping pay", served by
+        the MaxScore executor since r7 — or the rejection reason) and
+        ``rarest_chunk_postings`` is the chunk-local Σn of the rarest
+        term — the quantity the anchor rule tests against ``k``."""
         self._refresh_if_rebuilt()
         qterms: dict[int, list[str]] = {
             qid: sorted(set(self._analyze(q))) for qid, q in queries
@@ -500,11 +515,13 @@ DECISION_REASONS = ("wand", "single_term", "no_selective", "anchor_thin")
 def _wand_decision(term_chunk_blocks: dict, k: int, n_docs: int) -> str:
     """Per-(query, chunk) cost decision between the executors, with the
     reason exposed for the decision accumulators (VERDICT r05 #1).
-    Returns one of ``DECISION_REASONS``: ``"wand"`` (use block-max
-    WAND) or the rejection reason (``"single_term"`` — nothing to
-    skip against; ``"no_selective"`` — every query term matches ≥10%
-    of the corpus; ``"anchor_thin"`` — the rarest term has fewer than
-    ``k`` postings in THIS chunk, so θ collapses)."""
+    Returns one of ``DECISION_REASONS``: ``"wand"`` (historical key:
+    a selective term makes block skipping pay — auto serves it with
+    the vectorized MaxScore executor since r7) or the rejection reason
+    (``"single_term"`` — nothing to skip against; ``"no_selective"`` —
+    every query term matches ≥10% of the corpus; ``"anchor_thin"`` —
+    the rarest term has fewer than ``k`` postings in THIS chunk, so θ
+    collapses)."""
     if len(term_chunk_blocks) < 2:
         return "single_term"
     dfs = {t: int(g["df"].iloc[0]) for t, g in term_chunk_blocks.items()}
@@ -543,22 +560,29 @@ def _exhaustive_topk(
     counters: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized term-at-a-time scoring of one chunk.  Deterministic:
-    terms arrive sorted, accumulation order fixed."""
+    terms arrive sorted, accumulation order fixed.
+
+    r7: one concatenated codec pass per (term, stream) instead of one
+    per BLOCK — the wire format is self-delimiting, so bytes decode
+    identically (codec.vb_decode_concat / delta_decode_concat, both
+    equality pytest-gated) while the fixed per-call numpy overhead is
+    paid ~128× less often at serving spans."""
     doc_parts, score_parts = [], []
     if counters is not None:
         nb = sum(len(b) for b in term_blocks)
         counters["blocks_total"] = counters.get("blocks_total", 0) + nb
         counters["blocks_decoded"] = counters.get("blocks_decoded", 0) + nb
     for blocks, w in zip(term_blocks, idfs):
-        for row in blocks.itertuples():
-            d = codec.delta_decode(row.docs).astype(np.int64)
-            tf = codec.vb_decode(row.tfs).astype(np.float64)
-            dl = codec.vb_decode(row.dls).astype(np.float64)
-            tfn = (tf * (sqltok.K1 + 1.0)) / (
-                tf + sqltok.K1 * (1.0 - sqltok.B + sqltok.B * dl / avgdl)
-            )
-            doc_parts.append(d)
-            score_parts.append(w * tfn)
+        d = codec.delta_decode_concat(
+            blocks["docs"].tolist(), blocks["n"].to_numpy(dtype=np.int64)
+        ).astype(np.int64)
+        tf = codec.vb_decode_concat(blocks["tfs"].tolist()).astype(np.float64)
+        dl = codec.vb_decode_concat(blocks["dls"].tolist()).astype(np.float64)
+        tfn = (tf * (sqltok.K1 + 1.0)) / (
+            tf + sqltok.K1 * (1.0 - sqltok.B + sqltok.B * dl / avgdl)
+        )
+        doc_parts.append(d)
+        score_parts.append(w * tfn)
     all_docs = np.concatenate(doc_parts)
     all_scores = np.concatenate(score_parts)
     uniq, inv = np.unique(all_docs, return_inverse=True)

@@ -114,6 +114,40 @@ def vb_decode(buf: bytes) -> np.ndarray:
     return np.add.reduceat(vals7, starts)
 
 
+def vb_decode_concat(bufs: list) -> np.ndarray:
+    """Decode MANY varbyte buffers in ONE vectorized pass (r7).
+
+    The wire format is self-delimiting (terminator bit per value), so
+    decoding the concatenation equals concatenating the decodes —
+    byte-exactly — while paying the ~10-numpy-op fixed decode cost
+    once instead of per block.  The exhaustive scorer decodes ~128
+    blocks per (term, chunk) at serving spans; per-block calls were
+    ~half its runtime."""
+    return vb_decode(b"".join(bufs))
+
+
+def delta_decode_concat(bufs: list, counts: np.ndarray) -> np.ndarray:
+    """Decode many per-block delta-gapped doc-id buffers in one pass.
+
+    ``counts`` = number of values per buffer (the segment ``n``
+    column): each block's first gap is absolute, so the cumulative sum
+    must restart at every block boundary — done vectorized by
+    subtracting the running total carried into each segment.  Equals
+    ``np.concatenate([delta_decode(b) for b in bufs])`` (pytest-gated
+    equality)."""
+    gaps = vb_decode(b"".join(bufs))
+    if gaps.size == 0:
+        return gaps
+    counts = np.asarray(counts, dtype=np.int64)
+    counts = counts[counts > 0]
+    starts = np.empty(counts.size, dtype=np.int64)
+    starts[0] = 0
+    np.cumsum(counts[:-1], out=starts[1:])
+    c = np.cumsum(gaps, dtype=np.uint64)
+    carry = c[starts] - gaps[starts]  # running total entering each segment
+    return c - np.repeat(carry, counts)
+
+
 def delta_encode(sorted_ids: np.ndarray) -> bytes:
     """Delta-gap + varbyte for a strictly increasing id array."""
     a = np.asarray(sorted_ids, dtype=np.uint64)

@@ -24,7 +24,7 @@ def main() -> None:
     p.add_argument("--k", type=int, default=10)
     # auto is the engine's production default (cost-based per-chunk
     # choice, BASELINE.md r5/r6) — the CLI previously forced exhaustive
-    p.add_argument("--method", choices=["auto", "exhaustive", "wand"], default="auto")
+    p.add_argument("--method", choices=["auto", "exhaustive", "wand", "maxscore"], default="auto")
     p.add_argument("--explain", action="store_true")
     p.add_argument("--queries", nargs="+", required=True)
     args = p.parse_args()

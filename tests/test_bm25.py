@@ -27,6 +27,7 @@ from eaststorm_searchengine_spark.operators.index_build import (
     BLOCK,
     build_index_fast,
 )
+from eaststorm_searchengine_spark.operators.maxscore import maxscore_topk
 from eaststorm_searchengine_spark.operators.wand import wand_topk
 
 SF = "/root/testdata/sf0.001"
@@ -172,8 +173,10 @@ def test_wand_equals_exhaustive_random(data, n_terms, k):
     frames = [_mk_blocks(p, avgdl) for p in term_blocks]
     d1, s1 = _exhaustive_topk(frames, idfs, k, avgdl)
     d2, s2 = wand_topk(frames, idfs, k, avgdl)
-    assert d1.tolist() == d2.tolist()
-    assert s1.tolist() == s2.tolist()  # bitwise-identical scores
+    d3, s3 = maxscore_topk(frames, idfs, k, avgdl)
+    assert d1.tolist() == d2.tolist() == d3.tolist()
+    # bitwise-identical scores across all three executors
+    assert s1.tolist() == s2.tolist() == s3.tolist()
 
 
 def test_idf_formula():
@@ -210,11 +213,11 @@ def test_auto_method_matches_both_executors(idx):
     both branches (dense-only → exhaustive; rare+dense → wand)."""
     q = [(1, "join"), (2, "the data"), (3, "hash join merge"), (4, "zzzmissing")]
     out = {}
-    for m in ("exhaustive", "wand", "auto"):
+    for m in ("exhaustive", "wand", "maxscore", "auto"):
         out[m] = [tuple(r) for r in idx.search(q, k=10, score_round=6).collect()] if m == "exhaustive" else [
             tuple(r) for r in idx.search(q, k=10, method=m, score_round=6).collect()
         ]
-    assert out["auto"] == out["exhaustive"] == out["wand"]
+    assert out["auto"] == out["exhaustive"] == out["wand"] == out["maxscore"]
     assert len(out["auto"]) > 0
 
 
@@ -275,6 +278,45 @@ def test_decode_counters_and_zipf_determinism(spark):
     a = sorted(corpus_mod.synthesize_zipf_docs(spark, 200).collect())
     b = sorted(corpus_mod.synthesize_zipf_docs(spark, 200).repartition(7).collect())
     assert a == b and len(a) == 200
+
+
+def test_maxscore_skips_nonessential_blocks():
+    """r7 MaxScore: with a high-idf rare anchor and a low-idf dense
+    term, the dense term is non-essential — only its fence-hit blocks
+    decode (candidate waves come from the anchor), and results stay
+    bitwise equal to exhaustive."""
+    import numpy as np
+    import pandas as pd
+
+    from eaststorm_searchengine_spark.operators import codec
+    from eaststorm_searchengine_spark.operators.bm25 import _exhaustive_topk
+    from eaststorm_searchengine_spark.operators.maxscore import maxscore_topk
+
+    rng = np.random.RandomState(11)
+    docs = np.sort(rng.choice(50_000, size=5000, replace=False)).astype(np.int64)
+    tfs = rng.randint(1, 9, size=5000).astype(np.int64)
+    dls = rng.randint(20, 200, size=5000).astype(np.int64)
+    rows = []
+    for s in range(0, len(docs), 128):
+        e = min(s + 128, len(docs))
+        rows.append({
+            "first_doc": int(docs[s]), "last_doc": int(docs[e - 1]), "n": e - s,
+            "max_tf": int(tfs[s:e].max()), "min_dl": int(dls[s:e].min()),
+            "docs": codec.delta_encode(docs[s:e].astype(np.uint64)),
+            "tfs": codec.vb_encode(tfs[s:e].astype(np.uint64)),
+            "dls": codec.vb_encode(dls[s:e].astype(np.uint64)),
+        })
+    dense = pd.DataFrame(rows)
+    rare = dense.iloc[:1].copy()  # 128 postings clustered in one range
+    cm, ce = {}, {}
+    dm = maxscore_topk([dense, rare], [0.3, 7.0], 10, 100.0, counters=cm)
+    de = _exhaustive_topk([dense, rare], [0.3, 7.0], 10, 100.0, counters=ce)
+    assert dm[0].tolist() == de[0].tolist()
+    assert dm[1].tolist() == de[1].tolist()  # bitwise scores
+    assert ce["blocks_decoded"] == ce["blocks_total"]
+    assert cm["blocks_total"] == ce["blocks_total"]
+    # candidates live in one doc range -> nearly all dense blocks skipped
+    assert cm["blocks_decoded"] < cm["blocks_total"] // 4
 
 
 def test_choose_wand_chunk_local_anchor_rule():

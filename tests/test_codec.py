@@ -75,3 +75,41 @@ def test_positions_roundtrip_prop(poslists):
     tfs = np.array([len(p) for p in poslists], dtype=np.int64)
     out = codec.decode_positions(codec.encode_positions(poslists), tfs)
     assert [o.tolist() for o in out] == poslists
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=2**62), min_size=0, max_size=40),
+        min_size=0, max_size=30,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_vb_decode_concat_equals_per_buffer(seglists):
+    """r7: decoding the concatenation of varbyte buffers == concatenating
+    per-buffer decodes (self-delimiting wire format)."""
+    bufs = [codec.vb_encode(np.array(s, dtype=np.uint64)) for s in seglists]
+    got = codec.vb_decode_concat(bufs)
+    want = (
+        np.concatenate([codec.vb_decode(b) for b in bufs])
+        if bufs and any(len(b) for b in bufs)
+        else np.empty(0, dtype=np.uint64)
+    )
+    assert got.tolist() == want.tolist()
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=2**55), min_size=1, max_size=40)
+        .map(lambda xs: sorted(set(xs))),
+        min_size=1, max_size=30,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_delta_decode_concat_equals_per_buffer(idlists):
+    """r7: per-block delta resets must survive the one-pass concat
+    decode (each block's first gap is absolute)."""
+    bufs = [codec.delta_encode(np.array(s, dtype=np.uint64)) for s in idlists]
+    counts = np.array([len(s) for s in idlists], dtype=np.int64)
+    got = codec.delta_decode_concat(bufs, counts)
+    want = np.concatenate([codec.delta_decode(b) for b in bufs])
+    assert got.tolist() == want.tolist()
