@@ -377,24 +377,22 @@ class BM25Index:
         avgdl, n_docs, k1, b = self.avgdl, self.n_docs, sqltok.K1, sqltok.B
 
         def match_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
-            # decode each term's postings once per chunk
+            # decode each term's postings once per chunk — one
+            # concatenated codec pass per stream (r7); positions are
+            # encoded with a per-POSTING delta reset, so block
+            # boundaries vanish under concatenation too
             decoded: dict[str, tuple] = {}
             dfs: dict[str, int] = {}
             for t, g in pdf.groupby("term"):
                 g = g.sort_values("first_doc")
-                docs_l, tfs_l, dls_l, pos_l = [], [], [], []
-                for r in g.itertuples():
-                    d = codec.delta_decode(r.docs).astype(np.int64)
-                    tf = codec.vb_decode(r.tfs).astype(np.int64)
-                    docs_l.append(d)
-                    tfs_l.append(tf)
-                    dls_l.append(codec.vb_decode(r.dls).astype(np.int64))
-                    pos_l.extend(codec.decode_positions(r.pos, tf))
+                tf = codec.vb_decode_concat(g["tfs"].tolist()).astype(np.int64)
                 decoded[t] = (
-                    np.concatenate(docs_l),
-                    np.concatenate(tfs_l),
-                    np.concatenate(dls_l),
-                    pos_l,
+                    codec.delta_decode_concat(
+                        g["docs"].tolist(), g["n"].to_numpy(dtype=np.int64)
+                    ).astype(np.int64),
+                    tf,
+                    codec.vb_decode_concat(g["dls"].tolist()).astype(np.int64),
+                    codec.decode_positions(b"".join(g["pos"]), tf),
                 )
                 dfs[t] = int(g["df"].iloc[0])
             out_rows = []
