@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from eaststorm_searchengine_spark.operators import codec, wand
 from eaststorm_searchengine_spark.operators.bm25 import _exhaustive_topk, bm25_idf
+from eaststorm_searchengine_spark.operators.maxscore import maxscore_topk
 from eaststorm_searchengine_spark.operators.index_build import BLOCK
 
 N_DOCS = 500_000
@@ -111,15 +112,25 @@ def main() -> None:
         t_wand = time.time() - t0
         wand._Cursor._decode = orig
 
-        assert d1.tolist() == d2.tolist() and s1.tolist() == s2.tolist(), q
+        cms: dict = {}
+        t0 = time.time()
+        d3, s3 = maxscore_topk(frames, idfs, k, AVG_DL, counters=cms)
+        t_ms = time.time() - t0
+
+        assert d1.tolist() == d2.tolist() == d3.tolist(), q
+        assert s1.tolist() == s2.tolist() == s3.tolist(), q
         results.append(
             {
                 "query": "+".join(q),
                 "total_blocks": total_blocks,
                 "wand_blocks_decoded": decode_calls["n"],
                 "decode_fraction": round(decode_calls["n"] / total_blocks, 4),
+                "maxscore_decode_fraction": round(
+                    cms["blocks_decoded"] / cms["blocks_total"], 4
+                ),
                 "exhaustive_sec": round(t_ex, 4),
                 "wand_sec": round(t_wand, 4),
+                "maxscore_sec": round(t_ms, 4),
             }
         )
 
