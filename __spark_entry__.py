@@ -1021,7 +1021,7 @@ class _AnnAuxUnsupported(Exception):
     corpus (see _ann_aux_tables) — degrade to rows-only, loudly."""
 
 
-def _ann_aux_tables(paths: dict, sf_dir: str) -> tuple[int, int]:
+def _ann_aux_tables(paths: dict, sf_dir: str) -> tuple[int, int, dict]:
     """ANN kernel aux (pure numpy, no Spark): per-vector LSH table
     signatures and per-vector IVF list assignments — ONLY the hash/
     quantizer kernels, computed with the engine's own kernel functions

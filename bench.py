@@ -109,6 +109,30 @@ def main() -> None:
     canary_ratios: dict[str, float] = {}
     canary_abs: dict[str, float] = {}
 
+    def with_guard(name: str, run, merge, max_extra: int = 3):
+        """ONE canary-bracket policy for every guarded measurement
+        (code-review r7: the p50 loop had hand-copied this with a
+        drifted retry bound).  Brackets ``run()`` with canaries on BOTH
+        sides (a burst spanning the repeats shows on at least one);
+        while the window reads slow (>1.5× the running-min base),
+        re-runs up to ``max_extra`` times, folding results with
+        ``merge(prev, new)``.  ``max_extra=0`` = label-only (ratio
+        recorded, no re-measure).  Records the entry's canary ratio +
+        absolute worst seconds."""
+        worst_t = canary()
+        res = run()
+        worst_t = max(worst_t, canary())
+        extra = 0
+        while worst_t / canary_state["base"] > 1.5 and extra < max_extra:
+            time.sleep(5.0)  # let the burst pass before re-measuring
+            worst_t = canary()
+            res = merge(res, run())
+            worst_t = max(worst_t, canary())
+            extra += 1
+        canary_ratios[name] = round(worst_t / canary_state["base"], 2)
+        canary_abs[name] = round(worst_t, 3)
+        return res
+
     # best-of-N everywhere: this VM suffers bursty hypervisor steal
     # (same job swings 2-3x run to run — BASELINE.md methodology note);
     # min-of-repeats is the stable statistic
@@ -120,31 +144,28 @@ def main() -> None:
         numbers swing with the window (fragmented/compaction, the big
         dedup pipelines); a drifted reading in the artifact then
         carries its own weather report."""
-        best = None
-        out = None
-        worst_t = canary() if (guard or label) else 0.0
-        for _ in range(repeats):
-            t0 = time.time()
-            out = fn()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        if guard or label:
-            # canary on BOTH sides: a burst that spans the repeats shows
-            # on at least one side even if it starts or ends mid-entry
-            worst_t = max(worst_t, canary())
-            extra = 0
-            while guard and worst_t / canary_state["base"] > 1.5 and extra < 3:
-                time.sleep(5.0)  # let the burst pass before re-measuring
-                worst_t = canary()
+        out: dict = {}
+        first = [True]
+
+        def run_best() -> float:
+            # full best-of-repeats on the first pass; guarded retries
+            # add ONE measurement each (the historical retry cost)
+            n = repeats if first[0] else 1
+            first[0] = False
+            best = None
+            for _ in range(n):
                 t0 = time.time()
-                out = fn()
-                best = min(best, time.time() - t0)
-                worst_t = max(worst_t, canary())
-                extra += 1
-            canary_ratios[name] = round(worst_t / canary_state["base"], 2)
-            canary_abs[name] = round(worst_t, 3)
+                out["v"] = fn()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            return best
+
+        if guard or label:
+            best = with_guard(name, run_best, min, max_extra=3 if guard else 0)
+        else:
+            best = run_best()
         queries[name] = round(best, 4)
-        return out
+        return out.get("v")
 
     # ---- headline: index build from raw html -------------------------
     # pipeline-specific warm-up (VERDICT r05 #2): the r5 record had the
@@ -190,33 +211,25 @@ def main() -> None:
     # pytest-gated identical to the distributed window rank that the
     # batch path keeps); best-of-2 per query like every other entry
     # (hypervisor-steal bursts hit single 1 s jobs hardest)
-    def p50_loop(prev=None):
+    def p50_loop():
         out = []
-        for i, (qid, q) in enumerate(E.QUERY_SET):
+        for qid, q in E.QUERY_SET:
             per = []
             for _ in range(2):
                 t0 = time.time()
                 idx.search([(qid, q)], k=10, final_rank="driver").collect()
                 per.append(time.time() - t0)
-            best = min(per)
-            out.append(min(best, prev[i]) if prev else best)
+            out.append(min(per))
         return out
 
     # headline metric (query_p50_sec): canary-bracketed + guarded
     # re-measure like the index-build entries (VERDICT r06 #3 — it
-    # drifted to 0.956 s unguarded in the r6 window)
-    p50_worst = canary()
-    lat = p50_loop()
-    p50_worst = max(p50_worst, canary())
-    extra = 0
-    while p50_worst / canary_state["base"] > 1.5 and extra < 2:
-        time.sleep(5.0)
-        p50_worst = canary()
-        lat = p50_loop(prev=lat)
-        p50_worst = max(p50_worst, canary())
-        extra += 1
-    canary_ratios["bm25_single_p50"] = round(p50_worst / canary_state["base"], 2)
-    canary_abs["bm25_single_p50"] = round(p50_worst, 3)
+    # drifted to 0.956 s unguarded in the r6 window); per-query mins
+    # fold elementwise across guarded retries
+    lat = with_guard(
+        "bm25_single_p50", p50_loop,
+        lambda a, b: [min(x, y) for x, y in zip(a, b)],
+    )
     query_p50 = statistics.median(lat)
     queries["bm25_single_p50"] = round(query_p50, 4)
 
@@ -372,8 +385,8 @@ def main() -> None:
     # auto's routing choice (selective→maxscore, dense→exhaustive)
     z_methods = ("exhaustive", "wand", "maxscore", "auto")
 
-    def zipf_trio(qset, prefix: str):
-        """Interleaved round-robin best-of-3 over the three executors
+    def zipf_quartet(qset, prefix: str):
+        """Interleaved round-robin best-of-3 over the four executors
         (VERDICT r05 #1): grouped repeats let one warm-up / steal
         burst land entirely on a single method — the r5 record had
         auto slowest of the trio while a same-day session had it
@@ -410,18 +423,15 @@ def main() -> None:
         ), f"executor results diverge ({prefix})"
         return decode, decisions
 
-    def bracketed_trio(qset, prefix: str, tag: str):
-        """zipf trios carry their own weather report too (VERDICT r06
-        #2: every entry ≥ ~1 s gets a canary ratio)."""
-        worst = canary()
-        out = zipf_trio(qset, prefix)
-        worst = max(worst, canary())
-        canary_ratios[tag] = round(worst / canary_state["base"], 2)
-        canary_abs[tag] = round(worst, 3)
-        return out
+    def bracketed_quartet(qset, prefix: str, tag: str):
+        """zipf quartets carry their own weather report too (VERDICT
+        r06 #2: every entry ≥ ~1 s gets a canary ratio); label-only
+        (max_extra=0) — a quartet re-run costs 12 engine searches."""
+        return with_guard(tag, lambda: zipf_quartet(qset, prefix),
+                          lambda a, b: b, max_extra=0)
 
     zq = corpus_mod.zipf_queries(corpus_mod.ZIPF_ANCHORED_RANKS)
-    z_decode, zipf_decisions_anchored = bracketed_trio(zq, "zipf_bm25_", "zipf_trio_anchored")
+    z_decode, zipf_decisions_anchored = bracketed_quartet(zq, "zipf_bm25_", "zipf_quartet_anchored")
     # the skip-rate evidence metric is defined on the ANCHORED set
     # (dense controls decode ~everything by design — code-review r06:
     # the mixed run was silently overwriting this before)
@@ -434,8 +444,8 @@ def main() -> None:
     zq_mixed = corpus_mod.zipf_queries(
         corpus_mod.ZIPF_ANCHORED_RANKS + corpus_mod.ZIPF_DENSE_RANKS
     )
-    zm_decode, zipf_decisions_mixed = bracketed_trio(
-        zq_mixed, "zipf_mixed_bm25_", "zipf_trio_mixed"
+    zm_decode, zipf_decisions_mixed = bracketed_quartet(
+        zq_mixed, "zipf_mixed_bm25_", "zipf_quartet_mixed"
     )
     wand_decode_fraction_mixed = round(
         zm_decode["wand"][0] / max(zm_decode["wand"][1], 1), 4

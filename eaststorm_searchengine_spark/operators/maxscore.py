@@ -28,8 +28,11 @@ handful of numpy calls over whole posting runs:
 Determinism contract (tested): bitwise-identical results to the
 exhaustive executor.  Per-doc scores accumulate term-at-a-time in
 sorted-term order (identical float addition order); docs never scored
-are strictly below θ (the suffix test uses ``<`` on the non-negative
-Lucene idf upper bounds), so they cannot tie into the boundary.
+are strictly below θ — the suffix test uses ``<`` on the non-negative
+Lucene idf upper bounds inflated by a 1e-12 relative margin, which
+dwarfs the few-ulp divergence between the bound's right-to-left
+accumulation and a score's left-to-right one, so an unscored doc can
+never tie into the boundary.
 """
 
 from __future__ import annotations
@@ -140,14 +143,29 @@ def maxscore_topk(
     theta = -np.inf
 
     for pos, ti in enumerate(by_ub):
-        # exact cut: every unscored doc's score ≤ Σ remaining ubs (all
-        # ubs non-negative — Lucene idf); strictly below θ means it
-        # cannot even tie into the (score desc, doc asc) boundary
-        if top_docs.size >= k and suffix_ub[pos] < theta:
+        # cut: every unscored doc's score ≤ Σ remaining ubs (all ubs
+        # non-negative — Lucene idf); strictly below θ means it cannot
+        # even tie into the (score desc, doc asc) boundary.  The bound
+        # must be FLOAT-sound (code-review r7): suffix_ub accumulates
+        # right-to-left in upper-bound order while wave scores
+        # accumulate left-to-right in sorted-term order, so a doc
+        # attaining every block upper bound can exceed the raw float
+        # suffix sum by a few ulps — inflate by 1e-12 relative
+        # (≫ n_terms·ε ≈ 2e-15) before the strict '<'
+        if top_docs.size >= k and suffix_ub[pos] * (1.0 + 1e-12) < theta:
             break
         wave = terms[ti].all_docs(counters)
-        if scored.size:
-            wave = wave[~np.isin(wave, scored, assume_unique=True)]
+        if scored.size and wave.size:
+            # both sorted + unique: sorted membership instead of
+            # np.isin's internal re-sort
+            ins = np.searchsorted(scored, wave)
+            dup = (ins < scored.size) & (
+                scored[np.minimum(ins, scored.size - 1)] == wave
+            )
+            wave = wave[~dup]
+            ins = ins[~dup]
+        else:
+            ins = np.zeros(wave.size, dtype=np.int64)
         if wave.size == 0:
             continue
         # score the wave against ALL terms, sorted-term order — the
@@ -157,7 +175,14 @@ def maxscore_topk(
         for t in terms:
             p, contrib = t.contributions(wave, counters)
             wscores[p] += contrib
-        scored = np.sort(np.concatenate([scored, wave]))
+        # O(S+W) sorted merge of the scored-doc set (was a full re-sort)
+        merged = np.empty(scored.size + wave.size, dtype=np.int64)
+        at = ins + np.arange(wave.size)
+        mask = np.zeros(merged.size, dtype=bool)
+        mask[at] = True
+        merged[mask] = wave
+        merged[~mask] = scored
+        scored = merged
         top_docs = np.concatenate([top_docs, wave])
         top_scores = np.concatenate([top_scores, wscores])
         sel = np.lexsort((top_docs, -top_scores))[:k]
