@@ -36,7 +36,7 @@ from ..functions import sqltok
 from ..functions.hashing import term_bucket
 from . import codec
 from .index_build import IndexPaths
-from .maxscore import maxscore_topk
+from .maxscore import _TermPostings, maxscore_topk
 from .wand import wand_topk
 
 
@@ -230,6 +230,17 @@ class BM25Index:
             idf = {
                 t: bm25_idf(int(g["df"].iloc[0]), n_docs) for t, g in by_term.items()
             }
+            # shared decoded-postings handles: a term appearing in
+            # several batch queries decodes its blocks once per CHUNK,
+            # not once per query (lazy — maxscore still skips
+            # non-essential blocks; exhaustive decodes on first use)
+            tp_cache: dict[str, _TermPostings] = {}
+
+            def tp_for(t: str) -> _TermPostings:
+                if t not in tp_cache:
+                    tp_cache[t] = _TermPostings(by_term[t], idf[t], avgdl)
+                return tp_cache[t]
+
             out_rows = []
             for qid, terms in qmap.items():
                 present = [t for t in terms if t in by_term]
@@ -257,7 +268,10 @@ class BM25Index:
                 else:
                     fn = _exhaustive_topk
                 docs_a, scores_a = fn(
-                    [by_term[t] for t in present],
+                    [
+                        by_term[t] if fn is wand_topk else tp_for(t)
+                        for t in present
+                    ],
                     [idf[t] for t in present],
                     k,
                     avgdl,
@@ -566,11 +580,24 @@ def _exhaustive_topk(
     equality pytest-gated) while the fixed per-call numpy overhead is
     paid ~128× less often at serving spans."""
     doc_parts, score_parts = [], []
-    if counters is not None:
-        nb = sum(len(b) for b in term_blocks)
-        counters["blocks_total"] = counters.get("blocks_total", 0) + nb
-        counters["blocks_decoded"] = counters.get("blocks_decoded", 0) + nb
     for blocks, w in zip(term_blocks, idfs):
+        if isinstance(blocks, _TermPostings):
+            # shared per-chunk postings (bm25.score_chunk batches many
+            # queries over one chunk): blocks decode once per CHUNK —
+            # counters then record fresh decodes only (honest)
+            if counters is not None:
+                counters["blocks_total"] = (
+                    counters.get("blocks_total", 0) + len(blocks.n)
+                )
+            d, tfn = blocks.full(counters)
+            doc_parts.append(d)
+            score_parts.append(w * tfn)
+            continue
+        if counters is not None:
+            counters["blocks_total"] = counters.get("blocks_total", 0) + len(blocks)
+            counters["blocks_decoded"] = (
+                counters.get("blocks_decoded", 0) + len(blocks)
+            )
         d = codec.delta_decode_concat(
             blocks["docs"].tolist(), blocks["n"].to_numpy(dtype=np.int64)
         ).astype(np.int64)

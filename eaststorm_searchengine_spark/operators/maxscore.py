@@ -93,6 +93,23 @@ class _TermPostings:
             return np.empty(0, dtype=np.int64)
         return np.concatenate([self._decoded[int(i)][0] for i in idxs])
 
+    def full(self, counters: dict | None) -> tuple[np.ndarray, np.ndarray]:
+        """(docs, tfn) over every posting — the exhaustive executor's
+        shape.  Values are bitwise-stable regardless of which earlier
+        call decoded which blocks (tfn is elementwise)."""
+        idxs = np.arange(len(self.n))
+        if counters is not None:
+            fresh = sum(1 for i in idxs if int(i) not in self._decoded)
+            counters["blocks_decoded"] = counters.get("blocks_decoded", 0) + fresh
+        self._decode_blocks(idxs)
+        if not len(self.n):
+            e = np.empty(0)
+            return e.astype(np.int64), e
+        return (
+            np.concatenate([self._decoded[int(i)][0] for i in idxs]),
+            np.concatenate([self._decoded[int(i)][1] for i in idxs]),
+        )
+
     def contributions(
         self, cand: np.ndarray, counters: dict | None
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -127,7 +144,13 @@ def maxscore_topk(
     sorted by (score desc, doc asc), at most k entries; bitwise equal
     to ``_exhaustive_topk`` / ``wand_topk`` (equality pytest-gated).
     ``counters`` accumulates ``blocks_total`` / ``blocks_decoded``."""
-    terms = [_TermPostings(b, w, avgdl) for b, w in zip(term_blocks, idfs)]
+    # callers batching many queries over one chunk pass shared
+    # _TermPostings instances so a term's blocks decode once per CHUNK,
+    # not once per query (bm25.score_chunk); bare frames also accepted
+    terms = [
+        b if isinstance(b, _TermPostings) else _TermPostings(b, w, avgdl)
+        for b, w in zip(term_blocks, idfs)
+    ]
     if counters is not None:
         counters["blocks_total"] = counters.get("blocks_total", 0) + sum(
             len(t.n) for t in terms
