@@ -368,3 +368,36 @@ def test_build_segments_subsplit_byte_identical(spark):
     assert len(base) > 50
     assert rows(4) == base
     assert rows(7) == base
+
+
+def test_build_index_with_forced_subsplits_serves_identically(spark, tmp_path, monkeypatch):
+    """End-to-end wiring of ADVICE r06 #1: force group_subsplits > 1
+    through the REAL build_index caller (tiny MAX_GROUP_POSTINGS) and
+    assert the index byte-equals a default build — segments, stats and
+    served results."""
+    from eaststorm_searchengine_spark.operators import index_build as ib
+    from eaststorm_searchengine_spark.operators.bm25 import BM25Index
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    root_a = str(tmp_path / "idx_default")
+    ib.build_index(spark, docs, root_a)
+
+    monkeypatch.setattr(ib, "MAX_GROUP_POSTINGS", 64)
+    # the caller derives n_sub from (n_docs, avgdl, chunk_bits,
+    # n_buckets); with a 64-posting cap it must be > 1 at this corpus
+    assert ib.group_subsplits(500, 40.0, 18, 16, max_group=64) > 1
+    root_b = str(tmp_path / "idx_subsplit")
+    ib.build_index(spark, docs, root_b)
+
+    def seg_rows(root):
+        return sorted(
+            (r["bucket"], r["term"], r["chunk"], r["first_doc"], bytes(r["docs"]),
+             bytes(r["tfs"]), bytes(r["dls"]), bytes(r["pos"]))
+            for r in spark.read.parquet(f"{root}/segments").collect()
+        )
+
+    assert seg_rows(root_a) == seg_rows(root_b)
+    q = [(1, "data analysis"), (2, "research")]
+    a = [tuple(r) for r in BM25Index(spark, root_a).search(q, k=10, score_round=4).collect()]
+    b = [tuple(r) for r in BM25Index(spark, root_b).search(q, k=10, score_round=4).collect()]
+    assert a == b and len(a) > 0
