@@ -349,7 +349,13 @@ def _encode_sorted_runs(
     run) → block rows.  Every run start is a block start, so per-block
     delta resets land exactly where the per-run loopy path puts them;
     block boundaries, metadata (reduceat) and all four byte streams
-    (segmented codec) are computed without a per-run Python loop."""
+    (segmented codec) are computed without a per-run Python loop.
+
+    ``pos_all``: either a list of per-posting position arrays, or a
+    tuple ``(flat_positions, per_posting_counts)`` when the caller
+    already holds the flattened token-position stream (the fast path's
+    factorize aggregation, r7) — identical bytes, no per-posting list
+    round-trip."""
     n = len(docs)
     if n == 0:
         return pd.DataFrame([], columns=SEGMENT_COLS)
@@ -365,12 +371,21 @@ def _encode_sorted_runs(
     docs_buf, docs_off = codec.delta_encode_segmented(docs, block_starts)
     tfs_buf, tfs_off = codec.vb_encode_segmented(tfs, block_starts)
     dls_buf, dls_off = codec.vb_encode_segmented(dls, block_starts)
-    counts = np.fromiter((len(p) for p in pos_all), dtype=np.int64, count=n)
+    if isinstance(pos_all, tuple):
+        flat_src, counts = pos_all
+        counts = np.asarray(counts, dtype=np.int64)
+    else:
+        flat_src = None
+        counts = np.fromiter((len(p) for p in pos_all), dtype=np.int64, count=n)
     pcum = np.empty(n + 1, dtype=np.int64)
     pcum[0] = 0
     np.cumsum(counts, out=pcum[1:])
     if pcum[-1]:
-        flat = np.concatenate(pos_all).astype(np.uint64)
+        flat = (
+            flat_src.astype(np.uint64)
+            if flat_src is not None
+            else np.concatenate(pos_all).astype(np.uint64)
+        )
         d = np.empty_like(flat)
         d[0] = flat[0]
         d[1:] = flat[1:] - flat[:-1]
@@ -663,47 +678,65 @@ def _make_fragment_gen(text_col: str, from_html: bool, stem: bool, n_buckets: in
         return toks
 
     def gen(batches):
+        from itertools import chain
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             pdf = pdf.sort_values("doc_id")
             ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             chunk = int(ids[0])
-            acc: dict[str, list] = {}
+            # tokenize (python — parity-bound), then aggregate postings
+            # fully vectorized (r7: the per-token dict/setdefault
+            # machinery was ~35 % of generator time at 1M scale —
+            # profiled; factorize + one stable int argsort replaces it)
+            tok_lists = []
             dls = np.empty(ids.size, dtype=np.int64)
             for i, raw in enumerate(pdf[text_col]):
                 toks = tokenizer(raw)
+                tok_lists.append(toks)
                 dls[i] = len(toks)
-                seen: dict[str, list[int]] = {}
-                for p, t in enumerate(toks):
-                    seen.setdefault(t, []).append(p + 1)
-                did = int(ids[i])
-                dl = len(toks)
-                for t, ps in seen.items():
-                    acc.setdefault(t, []).append((did, len(ps), dl, ps))
-            # one vectorized encode for the WHOLE batch (r6: the
-            # per-term loop paid four fixed-overhead codec calls per
-            # run — see _encode_sorted_runs); entries per term are
-            # already doc-id ordered (input sorted), and concatenating
-            # term-by-term keeps runs contiguous
-            tkeys = list(acc)
-            cnts = np.fromiter((len(acc[t]) for t in tkeys), dtype=np.int64, count=len(tkeys))
-            total = int(cnts.sum())
-            frame = _encode_sorted_runs(
-                np.repeat(np.array(tkeys, dtype=object), cnts),
-                np.repeat(
-                    np.fromiter(
-                        (_bucket_of(t, n_buckets) for t in tkeys),
-                        dtype=np.int64, count=len(tkeys),
-                    ),
-                    cnts,
-                ),
-                np.full(total, chunk, dtype=np.int64),
-                np.fromiter((e[0] for t in tkeys for e in acc[t]), dtype=np.int64, count=total),
-                np.fromiter((e[1] for t in tkeys for e in acc[t]), dtype=np.int64, count=total),
-                np.fromiter((e[2] for t in tkeys for e in acc[t]), dtype=np.int64, count=total),
-                [e[3] for t in tkeys for e in acc[t]],
-            )
+            total_toks = int(dls.sum())
+            if total_toks:
+                flat = np.fromiter(
+                    chain.from_iterable(tok_lists), dtype=object, count=total_toks
+                )
+                codes, uniq = pd.factorize(flat)  # C-level string hash
+                tok_doc = np.repeat(ids, dls)
+                tok_dl = np.repeat(dls, dls)
+                doc_start = np.repeat(np.cumsum(dls) - dls, dls)
+                tok_pos = np.arange(total_toks, dtype=np.int64) - doc_start + 1
+                # stable sort by term code: tokens were emitted in
+                # (doc asc, position asc) order, so within each code
+                # run docs stay ascending and positions ascending
+                # within each (term, doc) posting — exactly the run
+                # shape _encode_sorted_runs requires
+                order = np.argsort(codes, kind="stable")
+                s_codes = codes[order]
+                s_docs = tok_doc[order]
+                s_pos = tok_pos[order]
+                new_post = np.r_[
+                    True, (s_codes[1:] != s_codes[:-1]) | (s_docs[1:] != s_docs[:-1])
+                ]
+                p_start = np.flatnonzero(new_post)
+                p_tfs = np.diff(np.r_[p_start, total_toks])
+                uniq_arr = np.asarray(uniq, dtype=object)
+                uniq_buckets = np.fromiter(
+                    (_bucket_of(t, n_buckets) for t in uniq_arr),
+                    dtype=np.int64, count=uniq_arr.size,
+                )
+                start_codes = s_codes[p_start]
+                frame = _encode_sorted_runs(
+                    uniq_arr[start_codes],
+                    uniq_buckets[start_codes],
+                    np.full(p_start.size, chunk, dtype=np.int64),
+                    s_docs[p_start],
+                    p_tfs,
+                    tok_dl[order][p_start],
+                    (s_pos, p_tfs),
+                )
+            else:
+                frame = pd.DataFrame([], columns=SEGMENT_COLS)
             # reserved doclens row for this batch
             doclen_row = pd.DataFrame(
                 [
