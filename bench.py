@@ -400,7 +400,8 @@ def main() -> None:
         rows: dict = {}
         for _ in range(3):
             for m in z_methods:
-                a = (spark.sparkContext.accumulator(0), spark.sparkContext.accumulator(0))
+                a = (spark.sparkContext.accumulator(0), spark.sparkContext.accumulator(0),
+                     spark.sparkContext.accumulator(0))  # (fresh, total, logical)
                 d = (
                     {r: spark.sparkContext.accumulator(0) for r in DECISION_REASONS}
                     if m == "auto"
@@ -413,7 +414,7 @@ def main() -> None:
                 dt = time.time() - t0
                 best[m] = min(best.get(m, dt), dt)
                 rows[m] = {(r.query_id, r.rank, r.doc_id) for r in out}
-                decode[m] = (a[0].value, a[1].value)
+                decode[m] = (a[0].value, a[1].value, a[2].value)
                 if d is not None:
                     decisions = {r: acc.value for r, acc in d.items()}
         for m in z_methods:
@@ -450,6 +451,20 @@ def main() -> None:
     wand_decode_fraction_mixed = round(
         zm_decode["wand"][0] / max(zm_decode["wand"][1], 1), 4
     )
+    # maxscore skip rate in LOGICAL (cold-cache, per-query) decodes —
+    # batch-size-invariant, comparable to pre-r7 fractions of the same
+    # name-family (ADVICE r07: fresh decodes alone conflate cross-query
+    # cache sharing with algorithmic skipping); fresh also recorded
+    maxscore_decode = {
+        "anchored_logical_fraction": round(
+            z_decode["maxscore"][2] / max(z_decode["maxscore"][1], 1), 4),
+        "anchored_fresh_fraction": round(
+            z_decode["maxscore"][0] / max(z_decode["maxscore"][1], 1), 4),
+        "mixed_logical_fraction": round(
+            zm_decode["maxscore"][2] / max(zm_decode["maxscore"][1], 1), 4),
+        "mixed_fresh_fraction": round(
+            zm_decode["maxscore"][0] / max(zm_decode["maxscore"][1], 1), 4),
+    }
 
     # ---- skew flood: the salted shuffle under a stopword flood -------
     # (VERDICT r05 #6 — the last unevidenced north-rule clause: "skew
@@ -598,6 +613,7 @@ def main() -> None:
         "zipf_wand_blocks_decoded_fraction_mixed": wand_decode_fraction_mixed,
         "zipf_auto_decisions_anchored": zipf_decisions_anchored,
         "zipf_auto_decisions_mixed": zipf_decisions_mixed,
+        "zipf_maxscore_blocks_decoded": maxscore_decode,
         "skew_flood_build_ratio": skew_ratio,
         "serving_1m_batch12_per_query_sec": round(
             queries["bm25_batch12_auto_1m"] / len(E.QUERY_SET), 4

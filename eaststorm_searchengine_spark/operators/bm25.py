@@ -186,8 +186,12 @@ class BM25Index:
         results (pytest-gated), ~2× lower single-query latency since
         the second job's scheduling round-trip disappears.
 
-        ``decode_acc``: optional (decoded, total) Spark accumulators
-        fed from the executors — block-decode evidence.
+        ``decode_acc``: optional (decoded, total[, logical]) Spark
+        accumulators fed from the executors — block-decode evidence.
+        ``decoded`` counts FRESH decodes (shared per-chunk handles mean
+        a batch's later queries may hit cache); ``logical`` counts what
+        a cold cache would decode per query — the batch-size-invariant
+        skip-rate numerator (ADVICE r07).
         ``decision_acc``: optional dict of Spark accumulators keyed by
         ``DECISION_REASONS`` — per-(query, chunk) records of what the
         auto cost model chose and why (VERDICT r05 #1)."""
@@ -285,6 +289,11 @@ class BM25Index:
                 # block-max skip rate through the real segment store
                 decode_acc[0].add(counters.get("blocks_decoded", 0))
                 decode_acc[1].add(counters.get("blocks_total", 0))
+                if len(decode_acc) > 2:
+                    # logical (per-query cold-cache) decodes — the
+                    # skip-rate numerator comparable across batch
+                    # sizes; slot 0 stays fresh decodes (ADVICE r07)
+                    decode_acc[2].add(counters.get("blocks_logical", 0))
             if decision_acc is not None and decision_counts:
                 # per-(query, chunk) auto decisions keyed by reason —
                 # the misprediction evidence VERDICT r05 #1 asks for
@@ -589,6 +598,9 @@ def _exhaustive_topk(
                 counters["blocks_total"] = (
                     counters.get("blocks_total", 0) + len(blocks.n)
                 )
+                # .full() below records blocks_decoded (fresh) AND
+                # blocks_logical (= every block, what a cold cache
+                # would decode this query) — ADVICE r07
             d, tfn = blocks.full(counters)
             doc_parts.append(d)
             score_parts.append(w * tfn)
@@ -597,6 +609,9 @@ def _exhaustive_topk(
             counters["blocks_total"] = counters.get("blocks_total", 0) + len(blocks)
             counters["blocks_decoded"] = (
                 counters.get("blocks_decoded", 0) + len(blocks)
+            )
+            counters["blocks_logical"] = (
+                counters.get("blocks_logical", 0) + len(blocks)
             )
         d = codec.delta_decode_concat(
             blocks["docs"].tolist(), blocks["n"].to_numpy(dtype=np.int64)

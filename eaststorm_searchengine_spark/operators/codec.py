@@ -136,9 +136,17 @@ def delta_decode_concat(bufs: list, counts: np.ndarray) -> np.ndarray:
     ``np.concatenate([delta_decode(b) for b in bufs])`` (pytest-gated
     equality)."""
     gaps = vb_decode(b"".join(bufs))
+    counts = np.asarray(counts, dtype=np.int64)
+    # caller-supplied counts must match the encoded totals — drift
+    # would otherwise mis-place delta resets SILENTLY (per-block
+    # decode was structurally aligned by buffer boundaries)
+    if counts.sum() != gaps.size:
+        raise ValueError(
+            f"delta_decode_concat: counts sum {counts.sum()} != "
+            f"decoded value count {gaps.size}"
+        )
     if gaps.size == 0:
         return gaps
-    counts = np.asarray(counts, dtype=np.int64)
     counts = counts[counts > 0]
     starts = np.empty(counts.size, dtype=np.int64)
     starts[0] = 0

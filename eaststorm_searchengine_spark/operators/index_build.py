@@ -702,6 +702,15 @@ def _make_fragment_gen(text_col: str, from_html: bool, stem: bool, n_buckets: in
                     chain.from_iterable(tok_lists), dtype=object, count=total_toks
                 )
                 codes, uniq = pd.factorize(flat)  # C-level string hash
+                # factorize maps None/NaN to code -1, which would
+                # silently attribute that posting to the LAST unique
+                # term below; textproc tokenizers never yield None
+                # today — keep that a loud invariant, not an assumption
+                if codes.size and codes.min() < 0:
+                    raise ValueError(
+                        "tokenizer yielded a null token; factorize "
+                        "aggregation requires non-null tokens"
+                    )
                 tok_doc = np.repeat(ids, dls)
                 tok_dl = np.repeat(dls, dls)
                 doc_start = np.repeat(np.cumsum(dls) - dls, dls)

@@ -50,6 +50,14 @@ class _TermPostings:
     def __init__(self, blocks: pd.DataFrame, idf: float, avgdl: float):
         self.idf = idf
         self.avgdl = avgdl
+        # block rows MUST be ordered by first_doc: the searchsorted
+        # fence tests and the sorted wave merge both assume it.  The
+        # engine's callers (bm25.score_chunk) pre-sort, but a direct
+        # caller handing raw parquet group order would get silently
+        # wrong top-k — sort here (idempotent, cheap vs decode).
+        fd = blocks["first_doc"].to_numpy(dtype=np.int64)
+        if fd.size > 1 and (fd[1:] < fd[:-1]).any():
+            blocks = blocks.sort_values("first_doc", kind="stable")
         self.first = blocks["first_doc"].to_numpy(dtype=np.int64)
         self.last = blocks["last_doc"].to_numpy(dtype=np.int64)
         self.n = blocks["n"].to_numpy(dtype=np.int64)
@@ -88,6 +96,13 @@ class _TermPostings:
         if counters is not None:
             fresh = sum(1 for i in idxs if int(i) not in self._decoded)
             counters["blocks_decoded"] = counters.get("blocks_decoded", 0) + fresh
+            # logical = what a cold cache would decode for THIS query —
+            # keeps the skip-rate metric comparable across batch sizes
+            # (fresh alone conflates cross-query cache sharing with
+            # algorithmic block skipping, ADVICE r07)
+            counters["blocks_logical"] = (
+                counters.get("blocks_logical", 0) + int(idxs.size)
+            )
         self._decode_blocks(idxs)
         if not len(self.n):
             return np.empty(0, dtype=np.int64)
@@ -101,6 +116,9 @@ class _TermPostings:
         if counters is not None:
             fresh = sum(1 for i in idxs if int(i) not in self._decoded)
             counters["blocks_decoded"] = counters.get("blocks_decoded", 0) + fresh
+            counters["blocks_logical"] = (
+                counters.get("blocks_logical", 0) + int(idxs.size)
+            )
         self._decode_blocks(idxs)
         if not len(self.n):
             e = np.empty(0)
@@ -125,6 +143,9 @@ class _TermPostings:
         if counters is not None:
             fresh = sum(1 for i in idxs if int(i) not in self._decoded)
             counters["blocks_decoded"] = counters.get("blocks_decoded", 0) + fresh
+            counters["blocks_logical"] = (
+                counters.get("blocks_logical", 0) + int(idxs.size)
+            )
         self._decode_blocks(idxs)
         d = np.concatenate([self._decoded[int(i)][0] for i in idxs])
         tfn = np.concatenate([self._decoded[int(i)][1] for i in idxs])

@@ -74,6 +74,8 @@ class _Cursor:
             return
         if self.counters is not None:
             self.counters["blocks_decoded"] = self.counters.get("blocks_decoded", 0) + 1
+            # no cross-query sharing on this path: logical == fresh
+            self.counters["blocks_logical"] = self.counters.get("blocks_logical", 0) + 1
         d = codec.delta_decode(self.docs_b[self.bi]).astype(np.int64)
         tf = codec.vb_decode(self.tfs_b[self.bi]).astype(np.float64)
         dl = codec.vb_decode(self.dls_b[self.bi]).astype(np.float64)
