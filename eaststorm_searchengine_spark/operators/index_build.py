@@ -450,42 +450,76 @@ def build_segments(postings: DataFrame, n_sub: int = 1) -> DataFrame:
     return grouped.applyInPandas(_encode_bucket_chunk_vec, SEGMENT_SCHEMA)
 
 
+def _run_concurrently(*fns) -> None:
+    """Submit independent Spark jobs from concurrent driver threads and
+    wait for all; first exception (if any) re-raises.  Used to collapse
+    the finalize tail's sequential small-job latency — each job's fixed
+    scheduling cost overlaps instead of summing (the build's Amdahl
+    floor, profiled at ~3.6 s of sequential tail @ 8 cores)."""
+    import threading
+
+    errs: list[BaseException] = []
+
+    def _wrap(fn):
+        try:
+            fn()
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            errs.append(e)
+
+    threads = [threading.Thread(target=_wrap, args=(fn,)) for fn in fns]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
+
+
 def _doclens_from_postings(staged: DataFrame) -> DataFrame:
     # (doc_id, dl) appears identically on every posting of a doc;
     # max aggregation is partial-agg friendly (no distinct shuffle blowup).
     return staged.groupBy("doc_id").agg(F.max("dl").alias("dl"))
 
 
-def _finalize(spark: SparkSession, paths: IndexPaths) -> tuple[DataFrame, DataFrame]:
-    # one metadata-only scan (ints + term; blobs never read thanks to
-    # column pruning + the precomputed bytes column), cached for the two
-    # aggregations — term stats and per-chunk lineage
+def _finalize(spark: SparkSession, paths: IndexPaths) -> int:
+    """Write term_stats/ and lineage/ from the segment metadata and
+    return n_terms.  Metadata-only scans (ints + term; posting blobs
+    never read thanks to column pruning + the precomputed bytes
+    column).  The two writes are independent, so they run from
+    concurrent driver threads, and n_terms rides the term_stats write
+    via Observation — the tail costs one job-latency, not three
+    (r8 floor cut; result-identical)."""
+    from pyspark.sql import Observation
+
     meta = (
         spark.read.parquet(paths.segments)
         .filter(F.col("term") != DOCLEN_TERM)
         .select("term", "bucket", "chunk", "n", "bytes")
-        .cache()
     )
-    # bucket rides along so the query path resolves term→bucket with the
-    # same lookup that fetches df (one fewer job per query)
-    term_stats = meta.groupBy("term").agg(
-        F.sum("n").cast("long").alias("df"),
-        F.first("bucket").cast("int").alias("bucket"),
-    )
-    term_stats.write.mode("overwrite").parquet(paths.term_stats)
-    # per-chunk (shuffle-partition) lineage + metrics — north_rule
-    lineage = (
-        meta.groupBy("chunk")
-        .agg(
+    ts_obs = Observation()
+
+    def _term_stats_pipeline():
+        # bucket rides along so the query path resolves term→bucket
+        # with the same lookup that fetches df (one fewer job/query)
+        meta.groupBy("term").agg(
+            F.sum("n").cast("long").alias("df"),
+            F.first("bucket").cast("int").alias("bucket"),
+        ).observe(ts_obs, F.count("*").alias("n_terms")).write.mode(
+            "overwrite"
+        ).parquet(paths.term_stats)
+
+    def _lineage_pipeline():
+        # per-chunk (shuffle-partition) lineage + metrics — north_rule
+        meta.groupBy("chunk").agg(
             F.sum("n").cast("long").alias("postings"),
             F.countDistinct("term").alias("terms"),
             F.sum("bytes").cast("long").alias("bytes"),
-        )
-        .withColumn("status", F.lit("complete"))
-    )
-    lineage.write.mode("overwrite").parquet(paths.lineage)
-    meta.unpersist()
-    return term_stats, lineage
+        ).withColumn("status", F.lit("complete")).write.mode(
+            "overwrite"
+        ).parquet(paths.lineage)
+
+    _run_concurrently(_term_stats_pipeline, _lineage_pipeline)
+    return int(ts_obs.get["n_terms"])
 
 
 def build_index(
@@ -545,13 +579,13 @@ def build_index(
     build_segments(
         staged, n_sub=group_subsplits(n_docs, avgdl, chunk_bits, n_buckets)
     ).write.mode("overwrite").partitionBy("bucket").parquet(paths.segments)
-    term_stats, _ = _finalize(spark, paths)
+    n_terms = _finalize(spark, paths)
 
     stats = {
         "n_docs": n_docs,
         "avgdl": avgdl,
         "total_tokens": int(agg["total_tokens"] or 0),
-        "n_terms": int(term_stats.count()),
+        "n_terms": n_terms,
         "n_buckets": n_buckets,
         "block": BLOCK,
         "chunk_bits": chunk_bits,
@@ -632,11 +666,11 @@ def build_index_resumable(
         if fail_after is not None and done >= fail_after:
             raise RuntimeError(f"simulated crash after {done} parts")
 
-    term_stats, _ = _finalize(spark, paths)
+    n_terms = _finalize(spark, paths)
     stats = {
         "n_docs": n_docs,
         "avgdl": avgdl,
-        "n_terms": int(term_stats.count()),
+        "n_terms": n_terms,
         "n_buckets": n_buckets,
         "resumable": True,
         "n_jobs": n_jobs,
@@ -824,7 +858,19 @@ def build_index_fast(
     frags.write.mode("overwrite").partitionBy("bucket").parquet(paths.segments)
 
     # doclens/stats from the reserved rows; bucket=0 filter gives
-    # directory-level partition pruning (doclen rows all land there)
+    # directory-level partition pruning (doclen rows all land there).
+    #
+    # r8 floor cut: the finalize tail used to be ~6 SEQUENTIAL small
+    # jobs (doclens write → corpus agg → term_stats write → lineage
+    # write → n_terms count) whose fixed scheduling cost dominated the
+    # build's Amdahl floor (~3.6 s of a ~6.9 s floor at 8 cores,
+    # profiled).  Two structural fixes, no result change:
+    #   * corpus stats and n_terms ride their writes via Observation
+    #     (metrics computed inside the same job — two jobs disappear);
+    #   * the three remaining pipelines (doclens, term_stats, lineage)
+    #     are independent given segments/, so they are submitted from
+    #     concurrent driver threads — Spark schedules concurrent jobs
+    #     fine, and on a busy cluster they pack into idle executors.
     seg = spark.read.parquet(paths.segments)
     dl_rows = seg.filter(
         (F.col("bucket") == 0) & (F.col("term") == DOCLEN_TERM)
@@ -840,21 +886,49 @@ def build_index_fast(
             if outs:
                 yield pd.concat(outs)
 
-    dl_rows.mapInPandas(decode_dl, "doc_id long, dl long").write.mode(
-        "overwrite"
-    ).parquet(paths.doclens)
-    agg = spark.read.parquet(paths.doclens).agg(
-        F.count("*").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        F.sum("dl").alias("total_tokens"),
-    ).collect()[0]
+    from pyspark.sql import Observation
 
-    term_stats, _ = _finalize(spark, paths)
+    dl_obs = Observation()
+    ts_obs = Observation()
+    meta = seg.filter(F.col("term") != DOCLEN_TERM).select(
+        "term", "bucket", "chunk", "n", "bytes"
+    )
+
+    def _doclens_pipeline():
+        dl_rows.mapInPandas(decode_dl, "doc_id long, dl long").observe(
+            dl_obs,
+            F.count("*").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            F.sum("dl").alias("total_tokens"),
+        ).write.mode("overwrite").parquet(paths.doclens)
+
+    def _term_stats_pipeline():
+        # bucket rides along so the query path resolves term→bucket
+        # with the same lookup that fetches df
+        meta.groupBy("term").agg(
+            F.sum("n").cast("long").alias("df"),
+            F.first("bucket").cast("int").alias("bucket"),
+        ).observe(ts_obs, F.count("*").alias("n_terms")).write.mode(
+            "overwrite"
+        ).parquet(paths.term_stats)
+
+    def _lineage_pipeline():
+        # per-chunk lineage + metrics — north_rule
+        meta.groupBy("chunk").agg(
+            F.sum("n").cast("long").alias("postings"),
+            F.countDistinct("term").alias("terms"),
+            F.sum("bytes").cast("long").alias("bytes"),
+        ).withColumn("status", F.lit("complete")).write.mode(
+            "overwrite"
+        ).parquet(paths.lineage)
+
+    _run_concurrently(_doclens_pipeline, _term_stats_pipeline, _lineage_pipeline)
+    agg = dl_obs.get
     stats = {
         "n_docs": int(agg["n_docs"]),
         "avgdl": float(agg["avgdl"] or 0.0),
         "total_tokens": int(agg["total_tokens"] or 0),
-        "n_terms": int(term_stats.count()),
+        "n_terms": int(ts_obs.get["n_terms"]),
         "n_buckets": n_buckets,
         "block": BLOCK,
         "layout": "fragment",
@@ -997,12 +1071,12 @@ def compact_index(
         F.avg("dl").alias("avgdl"),
         F.sum("dl").alias("total_tokens"),
     ).collect()[0]
-    term_stats, _ = _finalize(spark, paths)
+    n_terms = _finalize(spark, paths)
     stats = {
         "n_docs": int(agg["n_docs"]),
         "avgdl": float(agg["avgdl"] or 0.0),
         "total_tokens": int(agg["total_tokens"] or 0),
-        "n_terms": int(term_stats.count()),
+        "n_terms": n_terms,
         "n_buckets": n_buckets,
         "block": BLOCK,
         "layout": "compacted",

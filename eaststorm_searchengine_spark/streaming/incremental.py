@@ -113,12 +113,12 @@ def refresh_metadata(spark: SparkSession, index_dir: str, n_buckets: int = ib.DE
         F.avg("dl").alias("avgdl"),
         F.sum("dl").alias("total_tokens"),
     ).collect()[0]
-    term_stats, _ = ib._finalize(spark, paths)
+    n_terms = ib._finalize(spark, paths)
     stats = {
         "n_docs": int(agg["n_docs"]),
         "avgdl": float(agg["avgdl"] or 0.0),
         "total_tokens": int(agg["total_tokens"] or 0),
-        "n_terms": int(term_stats.count()),
+        "n_terms": n_terms,
         "n_buckets": n_buckets,
         "block": ib.BLOCK,
         "layout": "fragment-streaming",
