@@ -593,6 +593,68 @@ def main() -> None:
     canary_ratios = {
         k: round(v / canary_state["base"], 2) for k, v in canary_abs.items()
     }
+
+    # ---- retry-until-clean for the headline entries (VERDICT r07 #3).
+    # Every r7 window was noisy and the official record's headline
+    # entries carried canary ratios 1.9-2.5.  Re-measure JUST the
+    # headline subset in up to 3 spaced-out attempts while its ratio
+    # reads > 1.3; a kept value is always the min seconds, labeled with
+    # the canary ratio of the attempt that produced it (a steal window
+    # only ever inflates, so min is the noise-free capability).
+    def _redo_index_build() -> float:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        t0 = time.time()
+        build_index_fast(
+            spark, pages, idx_dir, id_col="doc_id", text_col="html",
+            from_html=True,
+        )
+        return time.time() - t0
+
+    def _redo_p50() -> float:
+        return statistics.median(p50_loop())
+
+    def _redo_p50_1m() -> float:
+        out = []
+        for qid, q in E.QUERY_SET:
+            per = []
+            for _ in range(2):
+                t0 = time.time()
+                sidx.search([(qid, q)], k=10, final_rank="driver").collect()
+                per.append(time.time() - t0)
+            out.append(min(per))
+        return statistics.median(out)
+
+    # (entry key, ratio key whose reading declares it dirty, re-measure)
+    headline_redo = [
+        ("index_build_html", "index_build_html", _redo_index_build),
+        ("bm25_single_p50", "bm25_single_p50", _redo_p50),
+        ("bm25_single_p50_1m", "serving_1m_per_query", _redo_p50_1m),
+    ]
+    CLEAN_RATIO = 1.3
+    for _attempt in range(3):
+        dirty = [
+            (entry, rk, fn) for entry, rk, fn in headline_redo
+            if canary_ratios.get(entry, canary_ratios.get(rk, 0.0)) > CLEAN_RATIO
+        ]
+        if not dirty:
+            break
+        time.sleep(45.0)  # spaced out — let the steal burst pass
+        for entry, _rk, fn in dirty:
+            pre = canary()
+            val = fn()
+            post = max(pre, canary())
+            ratio = round(post / canary_state["base"], 2)
+            if val < queries[entry]:
+                # the ratio labels the attempt whose value is kept;
+                # the entry now carries its OWN ratio key (the 1m p50
+                # previously borrowed the per-query table's)
+                queries[entry] = round(val, 4)
+                canary_abs[entry] = round(post, 3)
+                canary_ratios[entry] = ratio
+            elif entry not in canary_ratios:
+                canary_ratios[entry] = ratio
+    docs_per_sec = n_docs / queries["index_build_html"]
+    query_p50 = queries["bm25_single_p50"]
     total = round(sum(queries.values()), 4)
     full = {
         "metric": "e2e_suite_sec",

@@ -263,8 +263,14 @@ class BM25Index:
                     # the vectorized MaxScore executor (same skip idea,
                     # set-at-a-time — measured 1.3-1.6x the exhaustive
                     # executor where pure WAND's per-pivot Python loop
-                    # LOST to it, BASELINE.md r7)
-                    fn = maxscore_topk if decision == "wand" else _exhaustive_topk
+                    # LOST to it, BASELINE.md r7).  "dense_long_run"
+                    # (r8): dense query but the chunk's posting runs
+                    # are long enough that MaxScore wins anyway
+                    fn = (
+                        maxscore_topk
+                        if decision in ("wand", "dense_long_run")
+                        else _exhaustive_topk
+                    )
                 elif method == "wand":
                     fn = wand_topk
                 elif method == "maxscore":
@@ -530,7 +536,20 @@ class BM25Index:
 
 
 # the four outcomes of the auto cost model, in accumulator-report order
-DECISION_REASONS = ("wand", "single_term", "no_selective", "anchor_thin")
+DECISION_REASONS = (
+    "wand", "single_term", "no_selective", "anchor_thin", "dense_long_run",
+)
+
+# Dense-query routing is SPAN-dependent (VERDICT r07 #4): at short
+# per-chunk posting runs (cb14 bench shape, ≤~16k postings/term) the
+# exhaustive scorer's single segmented decode beats MaxScore's wave
+# machinery on dense-only queries by ~10%, but at long runs (production
+# 2^18 spans; 500k-posting microbench) MaxScore wins every measured
+# shape including the dense worst case — its per-wave overhead is fixed
+# while the decode+score mass it skips grows with the run.  Route dense
+# queries to MaxScore once the mean chunk-local run length crosses this
+# threshold (measured break-even — see BASELINE.md r8 A/B).
+DENSE_LONG_RUN_POSTINGS = 1 << 16
 
 
 def _wand_decision(term_chunk_blocks: dict, k: int, n_docs: int) -> str:
@@ -548,7 +567,15 @@ def _wand_decision(term_chunk_blocks: dict, k: int, n_docs: int) -> str:
     dfs = {t: int(g["df"].iloc[0]) for t, g in term_chunk_blocks.items()}
     rarest = min(dfs, key=lambda t: dfs[t])
     if dfs[rarest] * 10 > n_docs:
-        return "no_selective"  # no selective term anywhere in the corpus
+        # no selective term anywhere in the corpus — but if this
+        # chunk's posting runs are LONG, MaxScore wins even dense
+        # queries (span-aware routing, VERDICT r07 #4): mean
+        # chunk-local run length over the query's terms, free off the
+        # block metadata
+        runs = [int(g["n"].sum()) for g in term_chunk_blocks.values()]
+        if sum(runs) // len(runs) >= DENSE_LONG_RUN_POSTINGS:
+            return "dense_long_run"
+        return "no_selective"
     if int(term_chunk_blocks[rarest]["n"].sum()) < k:
         return "anchor_thin"
     return "wand"

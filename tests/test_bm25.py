@@ -364,6 +364,12 @@ def test_wand_decision_reasons():
         "anchor_thin": {"a": dense, "b": blocks(200, [3])},
         "no_selective": {"a": dense, "b": blocks(50_000, [128] * 30)},
         "single_term": {"a": dense},
+        # r8 span-aware routing: dense everywhere, but mean chunk-local
+        # run (2 × 76,800 postings) crosses DENSE_LONG_RUN_POSTINGS
+        "dense_long_run": {
+            "a": blocks(90_000, [128] * 600),
+            "b": blocks(80_000, [128] * 600),
+        },
     }
     for want, tcb in cases.items():
         assert _wand_decision(tcb, 10, n_docs) == want
