@@ -548,8 +548,13 @@ DECISION_REASONS = (
 # shape including the dense worst case — its per-wave overhead is fixed
 # while the decode+score mass it skips grows with the run.  Route dense
 # queries to MaxScore once the mean chunk-local run length crosses this
-# threshold (measured break-even — see BASELINE.md r8 A/B).
-DENSE_LONG_RUN_POSTINGS = 1 << 16
+# threshold.  Break-even measured r8 (pure-python microbench over real
+# block rows, 2/3/5 terms x 4k-262k runs + cb14/cb17 zipf-index A/B):
+# maxscore is neutral-or-better from ~16k-run shapes up for 2-3 terms
+# and from ~64k for 5 terms; the one shape where it clearly loses
+# (5 terms x 4k runs, 1.56x) sits well below 2^15.  cb14 dense chunks
+# (16k-doc spans) stay exhaustive-routed; cb17+ chunks route maxscore.
+DENSE_LONG_RUN_POSTINGS = 1 << 15
 
 
 def _wand_decision(term_chunk_blocks: dict, k: int, n_docs: int) -> str:
