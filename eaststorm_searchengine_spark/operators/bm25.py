@@ -425,18 +425,18 @@ class BM25Index:
         if not all_terms:
             return self._rank(self.spark.createDataFrame([], out_schema), k, score_round)
 
-        buckets = sorted({term_bucket(t, self.n_buckets) for t in all_terms})
-        stats = (
-            self._stats_df
-            .filter(F.col("term").isin(all_terms))
-            .select("term", "df")
-        )
+        # df resolved driver-side, same as search() (r8): no per-query
+        # broadcast-join job on the phrase path either
+        dfs = self._term_dfs(all_terms)
+        present_terms = [t for t in all_terms if t in dfs]
+        if not present_terms:
+            return self._rank(self.spark.createDataFrame([], out_schema), k, score_round)
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in present_terms})
         segs = (
             self._segs_df
             .filter(F.col("bucket").isin(buckets))
-            .filter(F.col("term").isin(all_terms))
+            .filter(F.col("term").isin(present_terms))
             .select("term", "chunk", "first_doc", "n", "docs", "tfs", "dls", "pos")
-            .join(F.broadcast(stats), "term")
         )
         avgdl, n_docs, k1, b = self.avgdl, self.n_docs, sqltok.K1, sqltok.B
 
@@ -446,7 +446,6 @@ class BM25Index:
             # encoded with a per-POSTING delta reset, so block
             # boundaries vanish under concatenation too
             decoded: dict[str, tuple] = {}
-            dfs: dict[str, int] = {}
             for t, g in pdf.groupby("term"):
                 g = g.sort_values("first_doc")
                 tf = codec.vb_decode_concat(g["tfs"].tolist()).astype(np.int64)
@@ -458,7 +457,6 @@ class BM25Index:
                     codec.vb_decode_concat(g["dls"].tolist()).astype(np.int64),
                     codec.decode_positions(b"".join(g["pos"]), tf),
                 )
-                dfs[t] = int(g["df"].iloc[0])
             out_rows = []
             for qid, terms in pterms.items():
                 if not terms or any(t not in decoded for t in terms):
