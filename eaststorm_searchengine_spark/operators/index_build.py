@@ -566,13 +566,16 @@ def build_index(
     ).write.mode("overwrite").parquet(paths.postings)
     staged = spark.read.parquet(paths.postings)
 
-    doclens = _doclens_from_postings(staged)
-    doclens.write.mode("overwrite").parquet(paths.doclens)
-    agg = spark.read.parquet(paths.doclens).agg(
+    from pyspark.sql import Observation
+
+    dl_obs = Observation()
+    _doclens_from_postings(staged).observe(
+        dl_obs,
         F.count("*").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
         F.sum("dl").alias("total_tokens"),
-    ).collect()[0]
+    ).write.mode("overwrite").parquet(paths.doclens)
+    agg = dl_obs.get  # corpus stats ride the write job (r8 floor cut)
     n_docs = int(agg["n_docs"])
     avgdl = float(agg["avgdl"] or 0.0)
 
@@ -1065,12 +1068,16 @@ def compact_index(
     for r in src_roots:
         part = spark.read.parquet(IndexPaths(r).doclens)
         dls = part if dls is None else dls.unionByName(part)
-    dls.write.mode("overwrite").parquet(paths.doclens)
-    agg = spark.read.parquet(paths.doclens).agg(
+    from pyspark.sql import Observation
+
+    dl_obs = Observation()
+    dls.observe(
+        dl_obs,
         F.count("*").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
         F.sum("dl").alias("total_tokens"),
-    ).collect()[0]
+    ).write.mode("overwrite").parquet(paths.doclens)
+    agg = dl_obs.get  # corpus stats ride the write job (r8 floor cut)
     n_terms = _finalize(spark, paths)
     stats = {
         "n_docs": int(agg["n_docs"]),

@@ -105,14 +105,16 @@ def refresh_metadata(spark: SparkSession, index_dir: str, n_buckets: int = ib.DE
             if outs:
                 yield pd.concat(outs)
 
-    dl_rows.mapInPandas(decode_dl, "doc_id long, dl long").write.mode(
-        "overwrite"
-    ).parquet(paths.doclens)
-    agg = spark.read.parquet(paths.doclens).agg(
+    from pyspark.sql import Observation
+
+    dl_obs = Observation()
+    dl_rows.mapInPandas(decode_dl, "doc_id long, dl long").observe(
+        dl_obs,
         F.count("*").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
         F.sum("dl").alias("total_tokens"),
-    ).collect()[0]
+    ).write.mode("overwrite").parquet(paths.doclens)
+    agg = dl_obs.get  # corpus stats ride the write job (r8 floor cut)
     n_terms = ib._finalize(spark, paths)
     stats = {
         "n_docs": int(agg["n_docs"]),
