@@ -86,8 +86,12 @@ def test_search_plan_prunes_and_broadcasts(spark, idx_root):
     # segment scan prunes bucket directories and pushes the term filter
     assert "bucket" in inspect.partition_filters(df)
     assert "term" in inspect.pushed_filters(df)
-    # per-term df stats arrive via broadcast join, not a shuffle
-    assert "BroadcastHashJoin" in plan
+    # r8: per-term df resolves DRIVER-side (BM25Index._term_dfs — idf
+    # ships in the task closure), so the search plan has NO join and
+    # no shuffle beyond the per-chunk grouping: the per-query
+    # broadcast-build job is gone (serving-floor cut, VERDICT r07 #5)
+    assert "Join" not in plan, plan
+    assert idx._df_map, "driver-side term->df cache expected at this scale"
 
 
 def test_systematic_sample_no_global_window(spark):
