@@ -698,7 +698,10 @@ def _exhaustive_topk(
                 )
                 # .full() below records blocks_decoded (fresh) AND
                 # blocks_logical (= every block, what a cold cache
-                # would decode this query) — ADVICE r07
+                # would decode this query) — ADVICE r07.  New query
+                # against a possibly shared handle: reset the
+                # per-query logical-dedup tag first
+                blocks.begin_query()
             d, tfn = blocks.full(counters)
             doc_parts.append(d)
             score_parts.append(w * tfn)

@@ -71,6 +71,24 @@ class _TermPostings:
         )
         self.global_ub = float(ubs.max()) if len(blocks) else 0.0
         self._decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        # per-query request tags: blocks_logical counts each block at
+        # most once per (query, term) even when a query touches it via
+        # both all_docs and contributions (essential terms do) — the
+        # cold-cache-per-query semantics the metric claims
+        self._req_tag = np.full(len(blocks), -1, dtype=np.int64)
+        self._qtag = 0
+
+    def begin_query(self) -> None:
+        """Mark a new query against this (possibly shared) handle —
+        resets the per-query logical-decode accounting."""
+        self._qtag += 1
+
+    def _count_logical(self, counters: dict, idxs: np.ndarray) -> None:
+        new_mask = self._req_tag[idxs] != self._qtag
+        counters["blocks_logical"] = (
+            counters.get("blocks_logical", 0) + int(new_mask.sum())
+        )
+        self._req_tag[idxs[new_mask]] = self._qtag
 
     def _decode_blocks(self, idxs: np.ndarray) -> None:
         new = [int(i) for i in idxs if int(i) not in self._decoded]
@@ -99,10 +117,10 @@ class _TermPostings:
             # logical = what a cold cache would decode for THIS query —
             # keeps the skip-rate metric comparable across batch sizes
             # (fresh alone conflates cross-query cache sharing with
-            # algorithmic block skipping, ADVICE r07)
-            counters["blocks_logical"] = (
-                counters.get("blocks_logical", 0) + int(idxs.size)
-            )
+            # algorithmic block skipping, ADVICE r07); tag-deduped so a
+            # block requested via both all_docs and contributions in
+            # one query counts once
+            self._count_logical(counters, idxs)
         self._decode_blocks(idxs)
         if not len(self.n):
             return np.empty(0, dtype=np.int64)
@@ -116,9 +134,7 @@ class _TermPostings:
         if counters is not None:
             fresh = sum(1 for i in idxs if int(i) not in self._decoded)
             counters["blocks_decoded"] = counters.get("blocks_decoded", 0) + fresh
-            counters["blocks_logical"] = (
-                counters.get("blocks_logical", 0) + int(idxs.size)
-            )
+            self._count_logical(counters, idxs)
         self._decode_blocks(idxs)
         if not len(self.n):
             e = np.empty(0)
@@ -143,9 +159,7 @@ class _TermPostings:
         if counters is not None:
             fresh = sum(1 for i in idxs if int(i) not in self._decoded)
             counters["blocks_decoded"] = counters.get("blocks_decoded", 0) + fresh
-            counters["blocks_logical"] = (
-                counters.get("blocks_logical", 0) + int(idxs.size)
-            )
+            self._count_logical(counters, idxs)
         self._decode_blocks(idxs)
         d = np.concatenate([self._decoded[int(i)][0] for i in idxs])
         tfn = np.concatenate([self._decoded[int(i)][1] for i in idxs])
@@ -176,6 +190,8 @@ def maxscore_topk(
         counters["blocks_total"] = counters.get("blocks_total", 0) + sum(
             len(t.n) for t in terms
         )
+        for t in terms:
+            t.begin_query()  # per-query logical-decode accounting
     by_ub = sorted(range(len(terms)), key=lambda i: -terms[i].global_ub)
     suffix_ub = np.zeros(len(terms) + 1)
     for pos in range(len(terms) - 1, -1, -1):

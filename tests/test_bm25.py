@@ -461,3 +461,51 @@ def test_explain_matches_decision_accumulators(spark, tmp_path):
     assert len({(r.query_id, r.chunk) for r in exp}) == len(exp)
     # empty-analysis query set -> empty frame, stable schema
     assert idx.explain([(9, "???")]).count() == 0
+
+
+def test_logical_decode_counter_per_query_semantics():
+    """r8 (ADVICE r07): ``blocks_logical`` counts what a COLD cache
+    would decode per query — invariant to cross-query handle sharing
+    (unlike ``blocks_decoded`` = fresh decodes) and deduped when a
+    query touches a block via both all_docs and contributions."""
+    import numpy as np
+    import pandas as pd
+
+    from eaststorm_searchengine_spark.operators import codec
+    from eaststorm_searchengine_spark.operators.bm25 import _exhaustive_topk
+    from eaststorm_searchengine_spark.operators.maxscore import (
+        _TermPostings,
+        maxscore_topk,
+    )
+
+    def blocks_for(docs):
+        rows = []
+        for s in range(0, len(docs), 128):
+            d = np.asarray(docs[s:s + 128], dtype=np.int64)
+            rows.append({
+                "first_doc": int(d[0]), "last_doc": int(d[-1]), "n": int(d.size),
+                "max_tf": 3, "min_dl": 50,
+                "docs": codec.delta_encode(d.astype(np.uint64)),
+                "tfs": codec.vb_encode(np.ones(d.size, dtype=np.uint64)),
+                "dls": codec.vb_encode(np.full(d.size, 100, dtype=np.uint64)),
+            })
+        return pd.DataFrame(rows)
+
+    a = _TermPostings(blocks_for(list(range(0, 2560, 2))), 2.0, 100.0)  # 10 blocks
+    b = _TermPostings(blocks_for(list(range(0, 640, 1))), 5.0, 100.0)   # 5 blocks
+
+    c = {}
+    _exhaustive_topk([a, b], [2.0, 5.0], 10, 100.0, counters=c)
+    q1 = dict(c)
+    _exhaustive_topk([a, b], [2.0, 5.0], 10, 100.0, counters=c)
+    assert q1["blocks_logical"] == 15  # every block, first query
+    # second query on WARM shared handles: logical counts again (cold-
+    # cache semantics), fresh does not (cache hit)
+    assert c["blocks_logical"] - q1["blocks_logical"] == 15
+    assert c["blocks_decoded"] - q1["blocks_decoded"] == 0
+
+    c2 = {}
+    maxscore_topk([a, b], [2.0, 5.0], 10, 100.0, counters=c2)
+    # essential terms touch blocks via all_docs AND contributions —
+    # tag-dedup keeps logical ≤ total
+    assert c2["blocks_logical"] <= c2["blocks_total"]
