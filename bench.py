@@ -624,8 +624,13 @@ def main() -> None:
     def _redo_p50() -> float:
         return statistics.median(p50_loop())
 
-    def _redo_p50_1m() -> float:
-        out = []
+    def _redo_p50_1m() -> tuple[float, float]:
+        # per-query canary brackets, median label — the SAME policy the
+        # main serving loop applies to this entry (a single worst-of-
+        # loop bracket would relabel a clean-median measurement dirty,
+        # code-review r8: the exact failure mode the main loop fixed)
+        out, brackets = [], []
+        c_before = canary()
         for qid, q in E.QUERY_SET:
             per = []
             for _ in range(2):
@@ -633,36 +638,38 @@ def main() -> None:
                 sidx.search([(qid, q)], k=10, final_rank="driver").collect()
                 per.append(time.time() - t0)
             out.append(min(per))
-        return statistics.median(out)
+            c_now = canary()
+            brackets.append(max(c_before, c_now))
+            c_before = c_now
+        return statistics.median(out), statistics.median(brackets)
 
-    # (entry key, ratio key whose reading declares it dirty, re-measure)
+    # (entry key, re-measure fn → seconds or (seconds, abs label))
     headline_redo = [
-        ("index_build_html", "index_build_html", _redo_index_build),
-        ("bm25_single_p50", "bm25_single_p50", _redo_p50),
-        ("bm25_single_p50_1m", "serving_1m_per_query", _redo_p50_1m),
+        ("index_build_html", _redo_index_build),
+        ("bm25_single_p50", _redo_p50),
+        ("bm25_single_p50_1m", _redo_p50_1m),
     ]
     CLEAN_RATIO = 1.3
     for _attempt in range(3):
         dirty = [
-            (entry, rk, fn) for entry, rk, fn in headline_redo
-            if canary_ratios.get(entry, canary_ratios.get(rk, 0.0)) > CLEAN_RATIO
+            (entry, fn) for entry, fn in headline_redo
+            if canary_ratios.get(entry, 0.0) > CLEAN_RATIO
         ]
         if not dirty:
             break
         time.sleep(45.0)  # spaced out — let the steal burst pass
-        for entry, _rk, fn in dirty:
+        for entry, fn in dirty:
             pre = canary()
             val = fn()
+            val, label_abs = val if isinstance(val, tuple) else (val, None)
             post = max(pre, canary())
-            ratio = round(post / canary_state["base"], 2)
+            if label_abs is None:
+                label_abs = post
+            ratio = round(label_abs / canary_state["base"], 2)
             if val < queries[entry]:
-                # the ratio labels the attempt whose value is kept;
-                # the entry now carries its OWN ratio key (the 1m p50
-                # previously borrowed the per-query table's)
+                # the ratio labels the attempt whose value is kept
                 queries[entry] = round(val, 4)
-                canary_abs[entry] = round(post, 3)
-                canary_ratios[entry] = ratio
-            elif entry not in canary_ratios:
+                canary_abs[entry] = round(label_abs, 3)
                 canary_ratios[entry] = ratio
     docs_per_sec = n_docs / queries["index_build_html"]
     query_p50 = queries["bm25_single_p50"]

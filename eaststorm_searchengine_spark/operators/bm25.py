@@ -152,13 +152,25 @@ class BM25Index:
         session — AQE's coalescing and skew handling pay there.  Lazy:
         built on first driver-merge search, reset by _load/refresh."""
         if self._serve_segs_df is None:
-            s = self.spark.newSession()  # same context, own SQLConf
-            s.conf.set("spark.sql.adaptive.enabled", "false")
-            s.conf.set(
-                "spark.sql.shuffle.partitions",
-                str(self.spark.sparkContext.defaultParallelism),
-            )
-            self._serve_spark = s
+            s = getattr(self, "_serve_spark", None)
+            if s is None:
+                # ONE serving session per handle lifetime (code-review
+                # r8): sessions have no per-session close API short of
+                # stopping the context, so creating one per rebuild
+                # would leak JVM SessionState in a long-lived server —
+                # reuse it and just refresh its file-index cache
+                s = self.spark.newSession()  # same context, own SQLConf
+                s.conf.set("spark.sql.adaptive.enabled", "false")
+                s.conf.set(
+                    "spark.sql.shuffle.partitions",
+                    str(self.spark.sparkContext.defaultParallelism),
+                )
+                self._serve_spark = s
+            else:
+                try:
+                    s.catalog.refreshByPath(self.paths.segments)
+                except Exception:
+                    pass
             self._serve_segs_df = s.read.parquet(self.paths.segments)
         return self._serve_segs_df
 

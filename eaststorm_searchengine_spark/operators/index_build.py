@@ -456,7 +456,13 @@ def _run_concurrently(*fns) -> None:
     the finalize tail's sequential small-job latency — each job's fixed
     scheduling cost overlaps instead of summing (the build's Amdahl
     floor, profiled at ~3.6 s of sequential tail @ 8 cores)."""
-    import threading
+    # InheritableThread, not threading.Thread (code-review r8): under
+    # PySpark's default pinned-thread mode each plain Python thread
+    # maps to a dedicated JVM thread that is NOT reclaimed on exit —
+    # repeated builds in a long-lived driver would accumulate pinned
+    # JVM threads; InheritableThread also propagates job group / local
+    # properties into the concurrent jobs.
+    from pyspark import InheritableThread
 
     errs: list[BaseException] = []
 
@@ -466,7 +472,7 @@ def _run_concurrently(*fns) -> None:
         except BaseException as e:  # noqa: BLE001 — re-raised below
             errs.append(e)
 
-    threads = [threading.Thread(target=_wrap, args=(fn,)) for fn in fns]
+    threads = [InheritableThread(target=_wrap, args=(fn,)) for fn in fns]
     for t in threads:
         t.start()
     for t in threads:
@@ -481,14 +487,17 @@ def _doclens_from_postings(staged: DataFrame) -> DataFrame:
     return staged.groupBy("doc_id").agg(F.max("dl").alias("dl"))
 
 
-def _finalize(spark: SparkSession, paths: IndexPaths) -> int:
+def _finalize(spark: SparkSession, paths: IndexPaths, *extra_pipelines) -> int:
     """Write term_stats/ and lineage/ from the segment metadata and
     return n_terms.  Metadata-only scans (ints + term; posting blobs
     never read thanks to column pruning + the precomputed bytes
     column).  The two writes are independent, so they run from
     concurrent driver threads, and n_terms rides the term_stats write
     via Observation — the tail costs one job-latency, not three
-    (r8 floor cut; result-identical)."""
+    (r8 floor cut; result-identical).  ``extra_pipelines``: additional
+    independent callables to overlap with the two writes (the fast
+    path passes its doclens pipeline — ONE definition of the
+    term_stats/lineage aggregations serves every build path)."""
     from pyspark.sql import Observation
 
     meta = (
@@ -518,7 +527,7 @@ def _finalize(spark: SparkSession, paths: IndexPaths) -> int:
             "overwrite"
         ).parquet(paths.lineage)
 
-    _run_concurrently(_term_stats_pipeline, _lineage_pipeline)
+    _run_concurrently(_term_stats_pipeline, _lineage_pipeline, *extra_pipelines)
     return int(ts_obs.get["n_terms"])
 
 
@@ -892,10 +901,6 @@ def build_index_fast(
     from pyspark.sql import Observation
 
     dl_obs = Observation()
-    ts_obs = Observation()
-    meta = seg.filter(F.col("term") != DOCLEN_TERM).select(
-        "term", "bucket", "chunk", "n", "bytes"
-    )
 
     def _doclens_pipeline():
         dl_rows.mapInPandas(decode_dl, "doc_id long, dl long").observe(
@@ -905,33 +910,15 @@ def build_index_fast(
             F.sum("dl").alias("total_tokens"),
         ).write.mode("overwrite").parquet(paths.doclens)
 
-    def _term_stats_pipeline():
-        # bucket rides along so the query path resolves term→bucket
-        # with the same lookup that fetches df
-        meta.groupBy("term").agg(
-            F.sum("n").cast("long").alias("df"),
-            F.first("bucket").cast("int").alias("bucket"),
-        ).observe(ts_obs, F.count("*").alias("n_terms")).write.mode(
-            "overwrite"
-        ).parquet(paths.term_stats)
-
-    def _lineage_pipeline():
-        # per-chunk lineage + metrics — north_rule
-        meta.groupBy("chunk").agg(
-            F.sum("n").cast("long").alias("postings"),
-            F.countDistinct("term").alias("terms"),
-            F.sum("bytes").cast("long").alias("bytes"),
-        ).withColumn("status", F.lit("complete")).write.mode(
-            "overwrite"
-        ).parquet(paths.lineage)
-
-    _run_concurrently(_doclens_pipeline, _term_stats_pipeline, _lineage_pipeline)
+    # term_stats + lineage come from _finalize (one definition for all
+    # build paths — code-review r8); the doclens pipeline overlaps them
+    n_terms = _finalize(spark, paths, _doclens_pipeline)
     agg = dl_obs.get
     stats = {
         "n_docs": int(agg["n_docs"]),
         "avgdl": float(agg["avgdl"] or 0.0),
         "total_tokens": int(agg["total_tokens"] or 0),
-        "n_terms": int(ts_obs.get["n_terms"]),
+        "n_terms": n_terms,
         "n_buckets": n_buckets,
         "block": BLOCK,
         "layout": "fragment",

@@ -339,11 +339,30 @@ def main() -> None:
     # corpus times the serial in-window floor at each level; adjusted
     # efficiency removes the measured floor from both sides
     floor_lo = floor_hi = None
+    floor_canary_dirty = False
     if job == "index" and os.environ.get("SCALING_FLOOR", "1") == "1":
         floor_path = _prepare_floor_corpus()
-        flo = min(_run(n_lo, floor_path, job)["sec"] for _ in range(2))
-        fhi = min(_run(n_lo * 4, floor_path, job)["sec"] for _ in range(2))
-        floor_lo, floor_hi = flo, fhi
+        flo_runs = [_run(n_lo, floor_path, job) for _ in range(2)]
+        fhi_runs = [_run(n_lo * 4, floor_path, job) for _ in range(2)]
+        flo = min(flo_runs, key=lambda r: r["sec"])
+        fhi = min(fhi_runs, key=lambda r: r["sec"])
+        floor_lo, floor_hi = flo["sec"], fhi["sec"]
+        # the floor children carry their own canaries — fold them into
+        # the session base and flag a floor measured in a steal window
+        # at EITHER level (code-review r8: the monotonicity gate alone
+        # misses a burst that hits only the floor@N runs)
+        fcan = [
+            c for r in flo_runs + fhi_runs
+            for c in (r.get("canary_pre"), r.get("canary_post"))
+            if c is not None
+        ]
+        if fcan and canary_base is not None:
+            base = min(canary_base, min(fcan))
+            floor_canary_dirty = any(
+                max(r["canary_pre"], r["canary_post"]) / base > 1.5
+                for r in (flo, fhi)
+                if r.get("canary_pre") is not None
+            )
     result = {
         "job": job_desc,
         "corpus_docs": lo["docs"],
@@ -377,7 +396,7 @@ def main() -> None:
         # 1.254).  (2) The floor must also be a minor fraction of both
         # main measurements (code-review r06).  Raw efficiency stays
         # the headline metric either way.
-        if floor_hi > 1.2 * floor_lo:
+        if floor_hi > 1.2 * floor_lo or floor_canary_dirty:
             result["floor_invalid"] = True
         elif floor_lo < 0.5 * lo["sec"] and floor_hi < 0.5 * hi["sec"]:
             adj = ((lo["sec"] - floor_lo) / (hi["sec"] - floor_hi)) / 4.0
