@@ -207,3 +207,24 @@ def test_local_group_topk_equals_window_only_randomized(spark):
 
         pruned = local_group_topk(df, "q", ["score", "id"], [False, True], k)
         assert rank(pruned) == rank(df), (seed, k)
+
+
+def test_single_query_driver_merge_is_one_job(spark, idx_root):
+    """r8 serving floor: a warm single-query search with
+    final_rank='driver' runs as exactly ONE Spark job — the per-query
+    broadcast-join job is gone (driver-side df resolution) and the AQE
+    map-stage materialization barrier is gone (dedicated non-AQE
+    serving session).  statusTracker-counted."""
+    import time
+
+    from eaststorm_searchengine_spark.operators.bm25 import BM25Index
+
+    idx = BM25Index(spark, idx_root)
+    # warm: df-map load + serving-session creation + scan caches
+    idx.search([(1, "hash join")], k=5, final_rank="driver").collect()
+    st = spark.sparkContext.statusTracker()
+    before = set(st.getJobIdsForGroup(None) or [])
+    idx.search([(2, "merge sort")], k=5, final_rank="driver").collect()
+    time.sleep(0.3)
+    jobs = [j for j in (st.getJobIdsForGroup(None) or []) if j not in before]
+    assert len(jobs) == 1, f"expected 1 job, saw {len(jobs)}"
