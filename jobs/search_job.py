@@ -43,7 +43,13 @@ def main() -> None:
                 f"decision={row['decision']}\trarest={row['rarest_term']}"
                 f"(df={row['rarest_df']}, chunk_postings={row['rarest_chunk_postings']})"
             )
-    for row in idx.search(qs, k=args.k, method=args.method, score_round=4).collect():
+    # small CLI batches collect anyway → the driver-merge path serves
+    # them as ONE Spark job (non-AQE serving session, r8); identical
+    # results to the distributed window rank (pytest-gated)
+    rank_mode = "driver" if len(qs) <= 16 else "window"
+    for row in idx.search(
+        qs, k=args.k, method=args.method, score_round=4, final_rank=rank_mode
+    ).collect():
         print(f"q{row['query_id']}\t#{row['rank']}\tdoc={row['doc_id']}\tscore={row['score']}")
     spark.stop()
 
