@@ -91,6 +91,7 @@ class BM25Index:
         self._segs_df = self.spark.read.parquet(self.paths.segments)
         self._stats_df = self.spark.read.parquet(self.paths.term_stats)
         self._df_map: dict | bool | None = None  # lazy driver-side df cache
+        self._df_cache: dict = {}  # big-vocab per-term memo (reset on reload)
         self._serve_segs_df = None  # lazy non-AQE serving-session scan
         if self.pin:
             self._segs_df = self._segs_df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -200,14 +201,26 @@ class BM25Index:
                 )
             else:
                 self._df_map = False  # vocab too big for the driver
+                self._df_cache = {}  # per-term memo (None = known absent)
         if self._df_map is not False:
             return {t: self._df_map[t] for t in terms if t in self._df_map}
-        rows = (
-            self._stats_df.filter(F.col("term").isin(list(terms)))
-            .select("term", "df")
-            .collect()
-        )
-        return {r["term"]: int(r["df"]) for r in rows}
+        # big-vocab path: memoize per-term results so a Zipf query log's
+        # head terms resolve driver-side with NO job after first sight;
+        # absent terms are negative-cached (they'd otherwise re-query
+        # every time).  Bounded: cleared past DRIVER_STATS_CAP entries.
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            rows = (
+                self._stats_df.filter(F.col("term").isin(missing))
+                .select("term", "df")
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in rows}
+            if len(self._df_cache) + len(missing) > self.DRIVER_STATS_CAP:
+                self._df_cache = {}
+            for t in missing:
+                self._df_cache[t] = found.get(t)
+        return {t: v for t in terms if (v := self._df_cache.get(t)) is not None}
 
     # -- search -----------------------------------------------------------
     def search(

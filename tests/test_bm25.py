@@ -509,3 +509,38 @@ def test_logical_decode_counter_per_query_semantics():
     # essential terms touch blocks via all_docs AND contributions —
     # tag-dedup keeps logical ≤ total
     assert c2["blocks_logical"] <= c2["blocks_total"]
+
+
+def test_big_vocab_df_fallback_matches_full_map(spark, tmp_path):
+    """When the vocabulary exceeds DRIVER_STATS_CAP the handle resolves
+    term→df through a bounded filtered collect with per-term
+    memoization (r8).  Results must be identical to the full-map path,
+    absent terms must negative-cache, and repeat queries must resolve
+    from the memo."""
+    root = str(tmp_path / "idx_bigvocab")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta"), (3, "beta delta")],
+        "doc_id long, text string",
+    )
+    build_index_fast(spark, docs, root)
+    full = BM25Index(spark, root)
+    want = sorted(
+        tuple(r) for r in full.search([(1, "alpha beta zzz")], k=10,
+                                      score_round=4).collect()
+    )
+    small = BM25Index(spark, root)
+    small.DRIVER_STATS_CAP = 0  # force the big-vocab fallback path
+    got1 = sorted(
+        tuple(r) for r in small.search([(1, "alpha beta zzz")], k=10,
+                                       score_round=4).collect()
+    )
+    assert got1 == want and len(got1) > 0
+    assert small._df_map is False
+    # memo holds hits AND the negative entry for the absent term
+    assert small._df_cache.get("alpha") and small._df_cache.get("zzz") is None
+    # repeat query: fully memo-resolved (no missing terms), same result
+    got2 = sorted(
+        tuple(r) for r in small.search([(1, "alpha beta zzz")], k=10,
+                                       score_round=4).collect()
+    )
+    assert got2 == want
