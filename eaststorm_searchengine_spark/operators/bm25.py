@@ -64,11 +64,16 @@ class BM25Index:
 
     def __init__(self, spark: SparkSession, root: str, pin: bool = False):
         """``pin=True`` persists the segment/stats DataFrames in the
-        executor cache (MEMORY_AND_DISK) — the serving-path move for a
-        long-lived query server: repeat queries scan the columnar cache
-        instead of re-reading parquet.  Off by default (a pinned index
-        holds cluster cache for the handle's lifetime; call
-        :meth:`unpersist` when done)."""
+        executor cache (MEMORY_AND_DISK) — a BATCH-path move for a
+        long-lived query server: repeat batch queries scan the columnar
+        cache instead of re-reading parquet.  Off by default (a pinned
+        index holds cluster cache for the handle's lifetime; call
+        :meth:`unpersist` when done).  The single-query driver-merge
+        path deliberately ignores the pin: it scans parquet through the
+        one-job serving session, and an r8 A/B measured the cached
+        columnar scan of binary posting blobs no faster than parquet +
+        OS page cache (0.43-0.50 vs 0.36-0.48 s p50 @ 1M) while the
+        extra AQE session would cost a second job barrier."""
         self.spark = spark
         self.paths = IndexPaths(root)
         self.pin = pin
