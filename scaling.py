@@ -281,7 +281,13 @@ def _run(cores: int, pages_path: str, job: str = "index") -> dict:
         _ZIP_CACHE["zip"] = _fresh_engine_zip()
     zip_path = _ZIP_CACHE.get("zip", "")
     if submit and os.path.exists(zip_path):
+        # --driver-memory MUST be a submit arg: the child's in-session
+        # spark.driver.memory conf cannot resize an already-launched
+        # JVM, so children were silently running at the 1g default —
+        # enough for the 2M corpus, OOM at 4M (the ensure_parallelism
+        # round-robin repartition sorts full html-blob rows)
         cmd = ["spark-submit", "--master", f"local[{cores}]",
+               "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "24g"),
                "--py-files", zip_path, script, str(cores), pages_path]
     else:
         cmd = [sys.executable, script, str(cores), pages_path]
