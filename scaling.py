@@ -58,7 +58,16 @@ from eaststorm_searchengine_spark.session import get_spark
 
 cores = int(sys.argv[1])
 pages_path = sys.argv[2]
-spark = get_spark(f"scaling-{{cores}}", cores=cores, shuffle_partitions=64)
+# finer scan splits (16MB/1MB open-cost): the replicated corpus packs
+# its 64 files into ~8 maxPartitionBytes-sized splits, which made
+# ensure_parallelism insert a round-robin repartition (full-row sort
+# shuffle of html blobs) at 8 cores ONLY — an asymmetric cost the
+# 2-core level never paid.  With one split per file BOTH levels run
+# the identical no-shuffle plan, which is also the production shape
+# (a 100-TB corpus has thousands of natural splits).
+spark = get_spark(f"scaling-{{cores}}", cores=cores, shuffle_partitions=64,
+                  extra_conf={{"spark.sql.files.maxPartitionBytes": "16777216",
+                              "spark.sql.files.openCostInBytes": "1048576"}})
 spark.sparkContext.setLogLevel("ERROR")
 
 
