@@ -671,6 +671,13 @@ def main() -> None:
                 queries[entry] = round(val, 4)
                 canary_abs[entry] = round(label_abs, 3)
                 canary_ratios[entry] = ratio
+            elif ratio <= CLEAN_RATIO and val <= queries[entry] * 1.10:
+                # ADVICE r8: a CLEAN redo within noise of the kept min
+                # CONFIRMS the dirty-window value — relabel with the
+                # clean attempt's ratio (keeping the min seconds) so
+                # the loop stops burning attempts re-measuring it
+                canary_abs[entry] = round(label_abs, 3)
+                canary_ratios[entry] = ratio
     docs_per_sec = n_docs / queries["index_build_html"]
     query_p50 = queries["bm25_single_p50"]
     total = round(sum(queries.values()), 4)

@@ -221,10 +221,16 @@ class BM25Index:
                 .collect()
             )
             found = {r["term"]: int(r["df"]) for r in rows}
-            if len(self._df_cache) + len(missing) > self.DRIVER_STATS_CAP:
-                self._df_cache = {}
             for t in missing:
                 self._df_cache[t] = found.get(t)
+            if len(self._df_cache) > self.DRIVER_STATS_CAP:
+                # Evict entries NOT in the current query (ADVICE r8:
+                # wiping the whole memo before building the return dict
+                # dropped the current query's already-cached terms —
+                # the query was silently scored without indexed terms).
+                self._df_cache = {
+                    t: self._df_cache[t] for t in terms if t in self._df_cache
+                }
         return {t: v for t in terms if (v := self._df_cache.get(t)) is not None}
 
     # -- search -----------------------------------------------------------
@@ -643,7 +649,18 @@ DECISION_REASONS = (
 # and from ~64k for 5 terms; the one shape where it clearly loses
 # (5 terms x 4k runs, 1.56x) sits well below 2^15.  cb14 dense chunks
 # (16k-doc spans) stay exhaustive-routed; cb17+ chunks route maxscore.
+# The threshold is TERM-COUNT-AWARE (ADVICE r8): the break-even shifts
+# right with query width (per-wave overhead scales with terms), so
+# ≤3-term dense queries route at 2^15 runs but ≥4-term ones wait for
+# 2^16 — the measured 5x32k-64k regression region stays exhaustive.
 DENSE_LONG_RUN_POSTINGS = 1 << 15
+DENSE_LONG_RUN_POSTINGS_WIDE = 1 << 16  # queries with ≥ 4 terms
+
+
+def _dense_long_run_threshold(n_terms: int) -> int:
+    return (
+        DENSE_LONG_RUN_POSTINGS if n_terms <= 3 else DENSE_LONG_RUN_POSTINGS_WIDE
+    )
 
 
 def _wand_decision(
@@ -674,7 +691,7 @@ def _wand_decision(
         # chunk-local run length over the query's terms, free off the
         # block metadata
         runs = [int(g["n"].sum()) for g in term_chunk_blocks.values()]
-        if sum(runs) // len(runs) >= DENSE_LONG_RUN_POSTINGS:
+        if sum(runs) // len(runs) >= _dense_long_run_threshold(len(runs)):
             return "dense_long_run"
         return "no_selective"
     if int(term_chunk_blocks[rarest]["n"].sum()) < k:

@@ -374,6 +374,20 @@ def test_wand_decision_reasons():
     for want, tcb in cases.items():
         assert _wand_decision(tcb, 10, n_docs) == want
     assert set(cases) == set(DECISION_REASONS)
+    # ADVICE r8: the threshold is term-count-aware — a 5-term dense
+    # query at ~48k mean runs (measured regression region for wide
+    # queries) stays exhaustive; the same runs with 2 terms route to
+    # maxscore; 5 terms crossing 2^16 route too.
+    run48k = blocks(90_000, [128] * 375)  # 48,000 postings per term
+    wide48k = {t: run48k for t in "abcde"}
+    assert _wand_decision(wide48k, 10, n_docs) == "no_selective"
+    assert _wand_decision({"a": run48k, "b": run48k}, 10, n_docs) == (
+        "dense_long_run"
+    )
+    run72k = blocks(90_000, [128] * 563)  # 72,064 > 2^16
+    assert _wand_decision({t: run72k for t in "abcde"}, 10, n_docs) == (
+        "dense_long_run"
+    )
 
 
 def test_decision_accumulators_report_auto_choices(spark, tmp_path):
@@ -544,3 +558,37 @@ def test_big_vocab_df_fallback_matches_full_map(spark, tmp_path):
                                        score_round=4).collect()
     )
     assert got2 == want
+
+
+def test_df_cache_overflow_keeps_current_query_terms(spark, tmp_path):
+    """ADVICE r8 (medium): when the memo overflow eviction fires mid-
+    query, the CURRENT query's already-cached terms must still resolve
+    — the old wipe-before-return dropped them, silently scoring the
+    query without its indexed terms.  Repro: cap small enough that a
+    3-term query overflows after 2 terms were cached by an earlier
+    query; all three must resolve and results must match the full map."""
+    root = str(tmp_path / "idx_cache_evict")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta"), (3, "beta gamma delta")],
+        "doc_id long, text string",
+    )
+    build_index_fast(spark, docs, root)
+    full = BM25Index(spark, root)
+    want = sorted(
+        tuple(r)
+        for r in full.search([(1, "alpha beta gamma")], k=10,
+                             score_round=4).collect()
+    )
+    small = BM25Index(spark, root)
+    small.DRIVER_STATS_CAP = 0  # big-vocab fallback
+    small.search([(1, "alpha beta")], k=10).collect()  # caches alpha, beta
+    assert set(small._df_cache) >= {"alpha", "beta"}
+    small.DRIVER_STATS_CAP = 2  # next query's 3 terms overflow the memo
+    got = sorted(
+        tuple(r)
+        for r in small.search([(1, "alpha beta gamma")], k=10,
+                              score_round=4).collect()
+    )
+    assert got == want and len(got) == 3
+    # eviction kept exactly the current query's terms
+    assert set(small._df_cache) == {"alpha", "beta", "gamma"}

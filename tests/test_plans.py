@@ -222,9 +222,23 @@ def test_single_query_driver_merge_is_one_job(spark, idx_root):
     idx = BM25Index(spark, idx_root)
     # warm: df-map load + serving-session creation + scan caches
     idx.search([(1, "hash join")], k=5, final_rank="driver").collect()
-    st = spark.sparkContext.statusTracker()
-    before = set(st.getJobIdsForGroup(None) or [])
-    idx.search([(2, "merge sort")], k=5, final_rank="driver").collect()
-    time.sleep(0.3)
-    jobs = [j for j in (st.getJobIdsForGroup(None) or []) if j not in before]
+    # Dedicated job group (ADVICE r8): counting default-group IDs
+    # context-wide races any concurrent fixture/session job; the group
+    # is a thread-local property so only THIS search's jobs land in it.
+    sc = spark.sparkContext
+    st = sc.statusTracker()
+    group = "test-single-query-one-job"
+    sc.setJobGroup(group, "1-job serving gate")
+    try:
+        idx.search([(2, "merge sort")], k=5, final_rank="driver").collect()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    # poll until the tracker is quiescent instead of a fixed sleep
+    jobs, deadline = [], time.time() + 10.0
+    while time.time() < deadline:
+        now = st.getJobIdsForGroup(group) or []
+        if jobs and list(now) == list(jobs):
+            break
+        jobs = list(now)
+        time.sleep(0.2)
     assert len(jobs) == 1, f"expected 1 job, saw {len(jobs)}"
