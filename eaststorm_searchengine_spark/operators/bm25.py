@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import threading
 
 import numpy as np
 import pandas as pd
@@ -77,6 +78,12 @@ class BM25Index:
         self.spark = spark
         self.paths = IndexPaths(root)
         self.pin = pin
+        # guards the lazy one-time inits (serving session, df map) when
+        # one handle serves concurrent threads — a long-lived query
+        # server's natural shape (r9): without it two racing first
+        # queries each call spark.newSession(), leaking JVM
+        # SessionState, or double-build the driver df map
+        self._init_lock = threading.Lock()
         self._load()
 
     def _load(self) -> None:
@@ -158,26 +165,30 @@ class BM25Index:
         session — AQE's coalescing and skew handling pay there.  Lazy:
         built on first driver-merge search, reset by _load/refresh."""
         if self._serve_segs_df is None:
-            s = getattr(self, "_serve_spark", None)
-            if s is None:
-                # ONE serving session per handle lifetime (code-review
-                # r8): sessions have no per-session close API short of
-                # stopping the context, so creating one per rebuild
-                # would leak JVM SessionState in a long-lived server —
-                # reuse it and just refresh its file-index cache
-                s = self.spark.newSession()  # same context, own SQLConf
-                s.conf.set("spark.sql.adaptive.enabled", "false")
-                s.conf.set(
-                    "spark.sql.shuffle.partitions",
-                    str(self.spark.sparkContext.defaultParallelism),
-                )
-                self._serve_spark = s
-            else:
-                try:
-                    s.catalog.refreshByPath(self.paths.segments)
-                except Exception:
-                    pass
-            self._serve_segs_df = s.read.parquet(self.paths.segments)
+            with self._init_lock:  # concurrent first queries: init once
+                if self._serve_segs_df is not None:
+                    return self._serve_segs_df
+                s = getattr(self, "_serve_spark", None)
+                if s is None:
+                    # ONE serving session per handle lifetime
+                    # (code-review r8): sessions have no per-session
+                    # close API short of stopping the context, so
+                    # creating one per rebuild would leak JVM
+                    # SessionState in a long-lived server — reuse it
+                    # and just refresh its file-index cache
+                    s = self.spark.newSession()  # same ctx, own SQLConf
+                    s.conf.set("spark.sql.adaptive.enabled", "false")
+                    s.conf.set(
+                        "spark.sql.shuffle.partitions",
+                        str(self.spark.sparkContext.defaultParallelism),
+                    )
+                    self._serve_spark = s
+                else:
+                    try:
+                        s.catalog.refreshByPath(self.paths.segments)
+                    except Exception:
+                        pass
+                self._serve_segs_df = s.read.parquet(self.paths.segments)
         return self._serve_segs_df
 
     # Cap on loading the whole vocabulary's (term, df) driver-side: a
@@ -198,15 +209,22 @@ class BM25Index:
         shipped in the task closure.  Terms absent from the map don't
         exist in the index (term_stats covers every indexed term)."""
         if self._df_map is None:
-            n_terms = int(self.stats.get("n_terms", self.DRIVER_STATS_CAP + 1))
-            if n_terms <= self.DRIVER_STATS_CAP:
-                pdf = self._stats_df.select("term", "df").toPandas()
-                self._df_map = dict(
-                    zip(pdf["term"].tolist(), pdf["df"].astype(int).tolist())
-                )
-            else:
-                self._df_map = False  # vocab too big for the driver
-                self._df_cache = {}  # per-term memo (None = known absent)
+            with self._init_lock:  # build the map once across threads
+                if self._df_map is None:
+                    n_terms = int(
+                        self.stats.get("n_terms", self.DRIVER_STATS_CAP + 1)
+                    )
+                    if n_terms <= self.DRIVER_STATS_CAP:
+                        pdf = self._stats_df.select("term", "df").toPandas()
+                        self._df_map = dict(
+                            zip(
+                                pdf["term"].tolist(),
+                                pdf["df"].astype(int).tolist(),
+                            )
+                        )
+                    else:
+                        self._df_map = False  # vocab too big for driver
+                        self._df_cache = {}  # per-term memo (None = absent)
         if self._df_map is not False:
             return {t: self._df_map[t] for t in terms if t in self._df_map}
         # big-vocab path: memoize per-term results so a Zipf query log's

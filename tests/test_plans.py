@@ -242,3 +242,57 @@ def test_single_query_driver_merge_is_one_job(spark, idx_root):
         jobs = list(now)
         time.sleep(0.2)
     assert len(jobs) == 1, f"expected 1 job, saw {len(jobs)}"
+
+
+def test_concurrent_serving_no_crosstalk(spark, idx_root):
+    """VERDICT r08 #7: a long-lived query server drives ONE handle from
+    many threads.  N concurrent ``search()`` calls (fresh handle, so
+    the lazy serving-session + df-map inits race too) must each return
+    exactly the sequential result for their own query — no cross-talk,
+    no double-created serving session."""
+    from pyspark import InheritableThread
+
+    from eaststorm_searchengine_spark.operators.bm25 import BM25Index
+
+    queries = [
+        "hash join", "merge sort", "query optimizer", "index scan",
+        "data analysis", "research method",
+    ]
+    seq = BM25Index(spark, idx_root)
+    want = {
+        q: sorted(
+            tuple(r)
+            for r in seq.search([(i, q)], k=5, score_round=4,
+                                final_rank="driver").collect()
+        )
+        for i, q in enumerate(queries)
+    }
+    idx = BM25Index(spark, idx_root)  # fresh: lazy inits race below
+    results, errors = {}, []
+
+    def worker(i, q):
+        try:
+            for _ in range(3):  # repeat: warm-path races too
+                got = sorted(
+                    tuple(r)
+                    for r in idx.search([(i, q)], k=5, score_round=4,
+                                        final_rank="driver").collect()
+                )
+                assert got == want[q], (q, got[:2], want[q][:2])
+            results[q] = got
+        except Exception as e:  # surface across the thread boundary
+            errors.append((q, repr(e)))
+
+    threads = [
+        InheritableThread(target=worker, args=(i, q))
+        for i, q in enumerate(queries)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    assert set(results) == set(queries)
+    # exactly one serving session was created despite the racing inits
+    assert idx._serve_spark is not None
+    assert idx._serve_segs_df is not None
