@@ -322,6 +322,7 @@ def main() -> None:
         pages_path = _prepare_corpus()
         job_desc = "index_build_html (full extraction pipeline)"
         out_name = "scaling_results.json"
+    out_name = os.environ.get("SCALING_OUT", out_name)
     n_lo = int(os.environ.get("SCALING_N", "2"))
     rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
     # the sandbox VM's throughput fluctuates ~3x between runs, so run
@@ -335,49 +336,104 @@ def main() -> None:
     for _ in range(rounds):
         lo_runs.append(_run(n_lo, pages_path, job))
         hi_runs.append(_run(n_lo * 4, pages_path, job))
-    all_canaries = [
-        c for r in lo_runs + hi_runs
-        for c in (r.get("canary_pre"), r.get("canary_post"))
-        if c is not None
-    ]
-    canary_base = min(all_canaries) if all_canaries else None
+
+    canary_base = None
+
+    def _rebase() -> None:
+        nonlocal canary_base
+        cs = [
+            c for r in lo_runs + hi_runs
+            for c in (r.get("canary_pre"), r.get("canary_post"))
+            if c is not None
+        ]
+        canary_base = min(cs) if cs else None
+
+    _rebase()
 
     def _ratio(r: dict) -> float | None:
         if canary_base is None or r.get("canary_pre") is None:
             return None
         return round(max(r["canary_pre"], r["canary_post"]) / canary_base, 2)
 
-    lo = min(lo_runs, key=lambda r: r["sec"])
-    hi = min(hi_runs, key=lambda r: r["sec"])
+    # Per-level hygiene (VERDICT r08 #1: the 4M artifact passed off a
+    # 4N side that spread 1.5x over two runs, best taken).  Runs whose
+    # own canary bracket reads >1.5x the session base are steal-window
+    # casualties: EXCLUDE them from the best-pick and the spread
+    # statistic (counted in the artifact).  If the CLEAN runs of a
+    # level still spread >25%, buy extra runs (bounded) — a wide clean
+    # spread means the level's capability reading is not trustworthy,
+    # so the artifact labels it rather than hiding it.
+    SPREAD_MAX = 1.25
+    extra_budget = int(os.environ.get("SCALING_EXTRA_RUNS", "2"))
+
+    def _clean(runs: list) -> list:
+        ok = [r for r in runs if (_ratio(r) or 0.0) <= 1.5]
+        return ok or runs  # all dirty: fall back, labeled via counts
+
+    def _spread(runs: list) -> float:
+        secs = [r["sec"] for r in runs]
+        return round(max(secs) / max(min(secs), 1e-9), 2)
+
+    for level_runs, cores in ((lo_runs, n_lo), (hi_runs, n_lo * 4)):
+        extra = 0
+        while _spread(_clean(level_runs)) > SPREAD_MAX and extra < extra_budget:
+            level_runs.append(_run(cores, pages_path, job))
+            _rebase()
+            extra += 1
+
+    lo_clean, hi_clean = _clean(lo_runs), _clean(hi_runs)
+    lo = min(lo_clean, key=lambda r: r["sec"])
+    hi = min(hi_clean, key=lambda r: r["sec"])
     eff = (lo["sec"] / hi["sec"]) / 4.0
     # fixed-floor calibration (index job): the same child on a ~2k-page
     # corpus times the serial in-window floor at each level; adjusted
     # efficiency removes the measured floor from both sides
     floor_lo = floor_hi = None
     floor_canary_dirty = False
+    floor_attempts = 0
     if job == "index" and os.environ.get("SCALING_FLOOR", "1") == "1":
         floor_path = _prepare_floor_corpus()
-        flo_runs = [_run(n_lo, floor_path, job) for _ in range(2)]
-        fhi_runs = [_run(n_lo * 4, floor_path, job) for _ in range(2)]
-        flo = min(flo_runs, key=lambda r: r["sec"])
-        fhi = min(fhi_runs, key=lambda r: r["sec"])
-        floor_lo, floor_hi = flo["sec"], fhi["sec"]
-        # the floor children carry their own canaries — fold them into
-        # the session base and flag a floor measured in a steal window
-        # at EITHER level (code-review r8: the monotonicity gate alone
-        # misses a burst that hits only the floor@N runs)
-        fcan = [
-            c for r in flo_runs + fhi_runs
-            for c in (r.get("canary_pre"), r.get("canary_post"))
-            if c is not None
-        ]
-        if fcan and canary_base is not None:
-            base = min(canary_base, min(fcan))
-            floor_canary_dirty = any(
-                max(r["canary_pre"], r["canary_post"]) / base > 1.5
-                for r in (flo, fhi)
-                if r.get("canary_pre") is not None
-            )
+        # VERDICT r08 #2: no round has yet published a floor-adjusted
+        # number — both r8 artifacts refused (`floor_invalid`) because
+        # SOME floor run landed in a steal window and tripped the
+        # monotonicity or canary gate.  The floor is cheap (~2-3 s
+        # children), so instead of accepting the first pair, retry the
+        # whole pair (bounded) until one passes BOTH gates — each
+        # attempt is a fresh fresh-process measurement, not a re-roll
+        # of the same reading.
+        max_floor_attempts = int(os.environ.get("SCALING_FLOOR_RETRIES", "3"))
+        best_pair = None
+        while floor_attempts < max_floor_attempts:
+            floor_attempts += 1
+            flo_runs = [_run(n_lo, floor_path, job) for _ in range(2)]
+            fhi_runs = [_run(n_lo * 4, floor_path, job) for _ in range(2)]
+            flo = min(flo_runs, key=lambda r: r["sec"])
+            fhi = min(fhi_runs, key=lambda r: r["sec"])
+            # the floor children carry their own canaries — fold them
+            # into the session base and flag a floor measured in a
+            # steal window at EITHER level (code-review r8: the
+            # monotonicity gate alone misses a burst that hits only
+            # the floor@N runs)
+            fcan = [
+                c for r in flo_runs + fhi_runs
+                for c in (r.get("canary_pre"), r.get("canary_post"))
+                if c is not None
+            ]
+            dirty = False
+            if fcan and canary_base is not None:
+                base = min(canary_base, min(fcan))
+                dirty = any(
+                    max(r["canary_pre"], r["canary_post"]) / base > 1.5
+                    for r in (flo, fhi)
+                    if r.get("canary_pre") is not None
+                )
+            pair = (flo["sec"], fhi["sec"], dirty)
+            if best_pair is None or pair[1] < best_pair[1]:
+                best_pair = pair
+            if not dirty and flo["sec"] * 1.2 >= fhi["sec"]:
+                best_pair = pair
+                break
+        floor_lo, floor_hi, floor_canary_dirty = best_pair
     result = {
         "job": job_desc,
         "corpus_docs": lo["docs"],
@@ -392,6 +448,15 @@ def main() -> None:
         "pass": eff >= 0.8,
         "all_runs": {"n": [round(r["sec"], 1) for r in lo_runs],
                       "four_n": [round(r["sec"], 1) for r in hi_runs]},
+        # per-level hygiene (r9): spread over CLEAN runs only; dirty
+        # (canary >1.5x) runs are excluded from best-pick and spread
+        # and counted here.  A spread still >1.25 after the bounded
+        # extra runs means the level reading is weather-limited —
+        # visible, not hidden.
+        "run_spread_clean": {"n": _spread(lo_clean),
+                              "four_n": _spread(hi_clean)},
+        "runs_excluded_dirty": {"n": len(lo_runs) - len(lo_clean),
+                                 "four_n": len(hi_runs) - len(hi_clean)},
         "canary": {
             "base_sec": round(canary_base, 3) if canary_base else None,
             "n_ratios": [_ratio(r) for r in lo_runs],
@@ -402,6 +467,7 @@ def main() -> None:
     if floor_lo is not None:
         result["fixed_floor_sec"] = {"n": round(floor_lo, 2),
                                      "four_n": round(floor_hi, 2)}
+        result["floor_attempts"] = floor_attempts
         # sanity gates (VERDICT r07 #2): the floor runs execute in a
         # DIFFERENT window than the main runs on a VM with ~3x swings.
         # (1) A fixed floor CANNOT grow with cores — if floor@4N reads
