@@ -411,16 +411,18 @@ def main() -> None:
 
     # ---- auto-compaction policy: serving at the policy's max health --
     # The r9 policy (incremental.auto_compact) compacts past
-    # MAX_FRAGMENTS=12, so the WORST store a policy-maintained ingest
-    # ever serves from has 12 fragments.  Gate: serving there stays
-    # within ~2x of compacted steady-state (the 50-frag store above is
-    # ~11x — that's what the policy prevents).  Store build cached;
-    # policy check + decline timed implicitly (it's a metadata walk).
-    pol_dir = os.path.join(TMP, f"bench_policy_idx_{tag}")
+    # incremental.MAX_FRAGMENTS, so the WORST store a policy-maintained
+    # ingest ever serves from has that many fragments.  Gate: serving
+    # there stays within ~2x of compacted steady-state (the 50-frag
+    # store above is ~7-11x — that's what the policy prevents).  Store
+    # build cached; policy check + decline timed implicitly (it's a
+    # metadata walk).
+    n_frag_max = incremental.MAX_FRAGMENTS
+    pol_dir = os.path.join(TMP, f"bench_policy_idx_{tag}_f{n_frag_max}")
     if not os.path.exists(os.path.join(pol_dir, "stats.json")):
         shutil.rmtree(pol_dir, ignore_errors=True)
-        per12 = (n_docs + 11) // 12
-        for b in range(12):
+        per12 = (n_docs + n_frag_max - 1) // n_frag_max
+        for b in range(n_frag_max):
             batch = pages.filter(
                 (F.col("doc_id") >= b * per12)
                 & (F.col("doc_id") < (b + 1) * per12)

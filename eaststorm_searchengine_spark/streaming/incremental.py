@@ -161,12 +161,15 @@ def refresh_metadata(spark: SparkSession, index_dir: str, n_buckets: int = ib.DE
 # through their existing rebuild detection.
 # ---------------------------------------------------------------------------
 
-# Defaults sized from the measured degradation curve: serving on a
-# ~12-fragment store stays within ~2x of compacted steady-state (the
-# r9 bench gates this); 50 fragments is ~11x.  File count is the
-# second trigger because batch SIZE varies — many tiny batches can
-# leave a pathological file count at low fragment counts.
-MAX_FRAGMENTS = 12
+# Defaults sized from the measured degradation curve (sf0.1 batch-of-12
+# serving: 2.24 s compacted, 5.11 s @ 12 fragments, 15.8 s @ 50 — a
+# linear ~0.26-0.28 s/fragment): a 2x read-amplification budget over
+# compacted steady-state allows ~8 fragments, so the worst store a
+# policy-maintained ingest ever serves stays inside the budget (the r9
+# bench gates this).  File count is the second trigger because batch
+# SIZE varies — many tiny batches can leave a pathological file count
+# at low fragment counts.
+MAX_FRAGMENTS = 8
 MAX_SEGMENT_FILES = 8192
 
 
