@@ -407,7 +407,6 @@ def main() -> None:
 
     timed("compact_index_50frags", compact_run, repeats=1, guard=True)
     cidx = BM25Index(spark, comp_dir)
-    timed("bm25_batch12_compacted", lambda: cidx.search(E.QUERY_SET, k=10).collect(), repeats=2, label=True)
 
     # ---- auto-compaction policy: serving at the policy's max health --
     # The r9 policy (incremental.auto_compact) compacts past
@@ -434,12 +433,30 @@ def main() -> None:
         incremental.refresh_metadata(spark, pol_dir)
     assert incremental.auto_compact(spark, pol_dir) is None  # healthy
     pidx = BM25Index(spark, pol_dir)
-    timed("bm25_batch12_policy_store",
-          lambda: pidx.search(E.QUERY_SET, k=10).collect(),
-          repeats=2, label=True)
+    # Interleaved round-robin: the ratio's two sides must see the SAME
+    # weather — measured minutes apart (the pre-r9 shape), a steal
+    # burst on either side fabricates a policy regression (a dirty
+    # window read 3.01 where the degradation curve says ~2.0).  The
+    # entries keep their per-method min; the RATIO is the median of
+    # per-round pairs, each pair seconds apart.
+    comp_lat: list[float] = []
+    pol_lat: list[float] = []
+    pre_ac = canary()
+    for _ in range(3):
+        t0 = time.time()
+        cidx.search(E.QUERY_SET, k=10).collect()
+        comp_lat.append(time.time() - t0)
+        t0 = time.time()
+        pidx.search(E.QUERY_SET, k=10).collect()
+        pol_lat.append(time.time() - t0)
+    post_ac = max(pre_ac, canary())
+    queries["bm25_batch12_compacted"] = round(min(comp_lat), 4)
+    queries["bm25_batch12_policy_store"] = round(min(pol_lat), 4)
+    for entry in ("bm25_batch12_compacted", "bm25_batch12_policy_store"):
+        canary_abs[entry] = round(post_ac, 3)
+        canary_ratios[entry] = round(post_ac / canary_state["base"], 2)
     autocompact_serving_ratio = round(
-        queries["bm25_batch12_policy_store"]
-        / max(queries["bm25_batch12_compacted"], 1e-9), 2
+        statistics.median(p / c for p, c in zip(pol_lat, comp_lat)), 2
     )
 
     # ---- WAND vs exhaustive through the engine on a Zipf corpus ------
