@@ -162,14 +162,15 @@ def refresh_metadata(spark: SparkSession, index_dir: str, n_buckets: int = ib.DE
 # ---------------------------------------------------------------------------
 
 # Defaults sized from the measured degradation curve (sf0.1 batch-of-12
-# serving: 2.24 s compacted, 5.11 s @ 12 fragments, 15.8 s @ 50 — a
-# linear ~0.26-0.28 s/fragment): a 2x read-amplification budget over
-# compacted steady-state allows ~8 fragments, so the worst store a
-# policy-maintained ingest ever serves stays inside the budget (the r9
-# bench gates this).  File count is the second trigger because batch
-# SIZE varies — many tiny batches can leave a pathological file count
-# at low fragment counts.
-MAX_FRAGMENTS = 8
+# serving): the SLOPE is stable across measurement windows at ~0.23-0.28
+# s/fragment, but the compacted baseline itself swings 1.0-2.2 s with
+# the window — so the threshold must hold the ~2x read-amplification
+# budget at the FAST baseline, not the slow one (8 fragments read 2.8x
+# when compacted serving is 1.0 s; 4 fragments stay <=2x at every
+# measured baseline: 1.0+4*0.23=1.9x fast, 1.4x slow).  File count is
+# the second trigger because batch SIZE varies — many tiny batches can
+# leave a pathological file count at low fragment counts.
+MAX_FRAGMENTS = 4
 MAX_SEGMENT_FILES = 8192
 
 
