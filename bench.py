@@ -74,25 +74,45 @@ def main() -> None:
 
     queries: dict[str, float] = {}
 
-    # Steal canary: a fixed JVM-side reference job whose duration tracks
-    # hypervisor steal, not our code.  The r5 AND the first r6 records
-    # both caught the flagship index-build entry in a sustained slow
-    # window (17.3 s recorded vs 7.5-7.9 s isolated minutes later) —
-    # a burst long enough to swallow every best-of-3 repeat.  Guarded
-    # entries re-measure (bounded) while the canary reads >1.5x its
-    # session baseline; the per-entry canary ratio is recorded in the
-    # output JSON either way, so a still-contaminated number is labeled
-    # rather than silently wrong.
+    # Steal canary: fixed PURE-PYTHON single-core work whose wall time
+    # tracks hypervisor steal and nothing else — the same probe the
+    # scaling children use.  The r5 AND the first r6 records both
+    # caught the flagship index-build entry in a sustained slow window
+    # (17.3 s recorded vs 7.5-7.9 s isolated minutes later) — a burst
+    # long enough to swallow every best-of-3 repeat.  Guarded entries
+    # re-measure (bounded) while the canary reads >1.5x its session
+    # baseline; the per-entry canary ratio is recorded in the output
+    # JSON either way, so a still-contaminated number is labeled rather
+    # than silently wrong.
+    #   Through r9 the canary was a 32-partition Spark range-sum job;
+    # an interleaved A/B on an idle VM read the Spark job's SELF-noise
+    # at 1.77x max-over-min (scheduler/GC/JIT jitter) in the same
+    # minute the python loop spread 1.12x — the old probe labeled calm
+    # windows dirty, and its running-min base locked onto turbo-warm
+    # readings (0.053 s vs the ~0.18 s norm) that inflated every later
+    # ratio.  The python loop is also core-count- and session-state-
+    # invariant, so ratios compare across rounds and processes.  Known
+    # blind spot, accepted: a single-core probe can't see REDUCED
+    # PARALLEL CAPACITY (co-tenant VMs loading some of the 32 cores
+    # while per-core speed stays flat) — that weather shows up as
+    # uniform drift of the absolute entry values between whole runs,
+    # which the round-over-round record already exposes.
     def canary_run() -> float:
-        t0 = time.time()
-        spark.range(200_000_000, numPartitions=32).select(F.sum("id")).collect()
-        return time.time() - t0
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            x = 0
+            for i in range(3_000_000):
+                x += i
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return best
 
     # running-min base: a slow session START would inflate a fixed base
     # and make every later ratio read ~1 inside the same window; every
     # reading ratchets the base down instead.  Absolute seconds are
-    # recorded too — the job is fixed, so they're comparable across
-    # rounds (~0.18 s on an uncontended window).
+    # recorded too — the work is fixed, so they're comparable across
+    # rounds (~0.09-0.15 s on an uncontended window).
     canary_state = {"base": min(canary_run() for _ in range(3))}
 
     def canary() -> float:
