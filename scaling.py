@@ -236,6 +236,8 @@ spark.createDataFrame([(i,) for i in range(cores * 4)], "v int").repartition(cor
 ).count()  # python-worker warm-up (spawn cost out of the timing)
 
 idx = BM25Index(spark, index_path)
+with open(os.path.join(index_path, "stats.json")) as fh:
+    _istats = json.load(fh)
 # warm-up batch: handle lazy inits (df map, file-index listing, codegen
 # for the scoring plan) are per-process costs, same at both levels
 idx.search(batch[:12], k=10).collect()
@@ -248,6 +250,8 @@ c_post = _canary()
 print("RESULT " + json.dumps({{"cores": cores, "sec": dt, "docs": len(batch),
                                "docs_per_sec": len(batch) / dt,
                                "result_rows": len(rows),
+                               "index_docs": _istats["n_docs"],
+                               "index_chunk_bits": _istats["chunk_bits"],
                                "canary_pre": round(c_pre, 3),
                                "canary_post": round(c_post, 3)}}))
 spark.stop()
@@ -263,7 +267,16 @@ def _prepare_serving_index() -> str:
     pages_path = _prepare_corpus(replicas)
     tmp = os.path.join(HERE, "_tmp")
     tag = os.path.basename(os.path.normpath(SF_DIR))
-    path = os.path.join(tmp, f"serving_idx_{tag}_x{replicas}_auto")
+    # SERVING_CHUNK_BITS: the adaptive rule sizes chunks ≈ one per
+    # core of the BUILDING session (single-session latency optimum);
+    # a scaling artifact instead wants the production shape, chunks ≫
+    # cores (at 10^12 docs the fixed 2^18 span yields ~250 chunks per
+    # executor core), because the scoring stage's task count IS the
+    # chunk count — 31 chunks over 8 cores is 3.875 waves of
+    # quantization loss that no real deployment would see.
+    cb = os.environ.get("SERVING_CHUNK_BITS")
+    suffix = f"_cb{cb}" if cb else "_auto"
+    path = os.path.join(tmp, f"serving_idx_{tag}_x{replicas}{suffix}")
     if os.path.exists(os.path.join(path, "stats.json")):
         return path
     from eaststorm_searchengine_spark.operators.index_build import build_index
@@ -274,6 +287,7 @@ def _prepare_serving_index() -> str:
     build_index(
         spark, spark.read.parquet(pages_path), path,
         id_col="doc_id", text_col="html", from_html=True,
+        chunk_bits=int(cb) if cb else None,
     )
     spark.stop()
     return path
@@ -466,7 +480,8 @@ def main() -> None:
         pages_path = _prepare_serving_index()
         _reps = int(os.environ.get("SERVING_BATCH_REPS", "64"))
         job_desc = (f"bm25_batch_serving ({12 * _reps}-query batch over a "
-                    "FIXED 1M-page index; docs == queries for this job)")
+                    "FIXED prebuilt index — see index_docs/index_chunk_bits; "
+                    "docs == queries for this job)")
         out_name = "scaling_serving_results.json"
     else:
         pages_path = _prepare_corpus()
@@ -626,15 +641,19 @@ def main() -> None:
         # throughput artifacts (0.92-0.98 pass); this artifact extends
         # the evidence to the query side with the hardware honestly
         # separated out.
+        result["index_docs"] = lo.get("index_docs")
+        result["index_chunk_bits"] = lo.get("index_chunk_bits")
         bw_lo = _bandwidth_probe(n_lo)
         bw_hi = _bandwidth_probe(n_lo * 4)
-        ceiling = round(bw_lo / bw_hi, 3)
-        result["memory_bandwidth_probe"] = {
+        # context only, never a gate or a divisor: the probe's own
+        # readings are single-window and can catch a burst on either
+        # side (r9 observed per-run "ceilings" of 0.82, 1.01 and 1.56
+        # for the same machine state class) — a reader should compare
+        # the two seconds, not trust a derived ratio
+        result["memory_bandwidth_probe_context"] = {
             "n_procs_sec": round(bw_lo, 3),
             "four_n_procs_sec": round(bw_hi, 3),
-            "per_core_scaling_ceiling": ceiling,
         }
-        result["efficiency_vs_bandwidth_ceiling"] = round(eff / ceiling, 3)
     if floor_lo is not None:
         result["fixed_floor_sec"] = {"n": round(floor_lo, 2),
                                      "four_n": round(floor_hi, 2)}
