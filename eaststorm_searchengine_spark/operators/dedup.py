@@ -228,6 +228,21 @@ def minhash_udf(text: pd.Series) -> pd.Series:
     # shifted into signed-long range for Spark LongType
 
 
+def _spread_for_udf(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cores before an expensive
+    Python-side signature pass (r10, guide §2.6/§4): a small corpus
+    parquet arrives as ONE scan partition, which serialized the whole
+    minhash/simhash UDF onto a single core (measured 8.3 s of an
+    11 s entry at 50k docs).  Callers project to the needed columns
+    first, so the repartition shuffles only (id, text).  Inputs that
+    already have scan parallelism are left alone — no shuffle."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par * 2)
+    return df
+
+
 def minhash_candidates(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_bands: int = N_BANDS, max_bucket_docs: int = 256,
@@ -257,9 +272,9 @@ def minhash_candidates(
     Pass ``metrics={}`` to learn whether capping engaged
     (``metrics["overcap_buckets"]`` — see :func:`star_capped_pairs`)."""
     rows_per_band = N_HASHES // n_bands
-    sigs = docs.select(
-        F.col(id_col).alias("doc_id"), minhash_udf(F.col(text_col)).alias("sig")
-    )
+    sigs = _spread_for_udf(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    ).select("doc_id", minhash_udf(F.col("text")).alias("sig"))
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -309,7 +324,9 @@ def simhash_buckets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
                     prefix_bits: int = 16) -> DataFrame:
     """Near-dup buckets by SimHash prefix (cheap blocking stage; the
     within-bucket hamming check runs on bounded groups)."""
-    sh = docs.select(F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("simhash"))
+    sh = _spread_for_udf(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    ).select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
     return (
         sh.withColumn("bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits))
         .groupBy("bucket")
@@ -353,7 +370,9 @@ def simhash_near_dups(
     k = max_hamming
     n_blocks = k + 1
     width = 64 // n_blocks
-    sh = docs.select(F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("sh"))
+    sh = _spread_for_udf(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    ).select("doc_id", simhash_udf(F.col("text")).alias("sh"))
     block_cols = []
     for i in range(n_blocks):
         start = i * width
@@ -409,7 +428,6 @@ def _gram_explode(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFr
     form (same split-on-single-space, same short-doc clamp)."""
     from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
-    spark = docs.sparkSession
     schema = StructType(
         [
             StructField("doc_id", docs.schema[id_col].dataType),
@@ -417,13 +435,9 @@ def _gram_explode(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFr
             StructField("n_grams", IntegerType()),
         ]
     )
-    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    # small inputs (one parquet file) arrive in 1-2 partitions; spread
-    # the synthesis across the cores.  Large inputs already have scan
-    # parallelism — don't pay a full-text shuffle for them.
-    par = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par * 2)
+    src = _spread_for_udf(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
 
     def gen(batches):
         for b in batches:
