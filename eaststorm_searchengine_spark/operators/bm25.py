@@ -392,11 +392,11 @@ class BM25Index:
                     fn = maxscore_topk
                 else:
                     fn = _exhaustive_topk
+                # every executor (wand included since its r10 interval
+                # rewrite) shares the per-chunk _TermPostings handles:
+                # a term's blocks decode once per CHUNK across the batch
                 docs_a, scores_a = fn(
-                    [
-                        by_term[t] if fn is wand_topk else tp_for(t)
-                        for t in present
-                    ],
+                    [tp_for(t) for t in present],
                     [idf[t] for t in present],
                     k,
                     avgdl,

@@ -69,6 +69,10 @@ class _TermPostings:
         ubs = idf * (max_tf * (sqltok.K1 + 1.0)) / (
             max_tf + sqltok.K1 * (1.0 - sqltok.B + sqltok.B * min_dl / avgdl)
         )
+        # per-block upper bounds kept for the interval-WAND executor
+        # (wand.py r10): its skip test sums the live blocks' ubs per
+        # fence interval instead of using one global bound per term
+        self.block_ubs = ubs
         self.global_ub = float(ubs.max()) if len(blocks) else 0.0
         self._decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         # per-query request tags: blocks_logical counts each block at
@@ -143,6 +147,19 @@ class _TermPostings:
             np.concatenate([self._decoded[int(i)][0] for i in idxs]),
             np.concatenate([self._decoded[int(i)][1] for i in idxs]),
         )
+
+    def docs_for_blocks(self, idxs: np.ndarray, counters: dict | None) -> np.ndarray:
+        """Doc ids (ascending) of the given block indices, decoding
+        only those blocks — the interval-WAND candidate source (r10).
+        ``idxs`` must be ascending (np.unique output)."""
+        if idxs.size == 0:
+            return np.empty(0, dtype=np.int64)
+        if counters is not None:
+            fresh = sum(1 for i in idxs if int(i) not in self._decoded)
+            counters["blocks_decoded"] = counters.get("blocks_decoded", 0) + fresh
+            self._count_logical(counters, idxs)
+        self._decode_blocks(idxs)
+        return np.concatenate([self._decoded[int(i)][0] for i in idxs])
 
     def contributions(
         self, cand: np.ndarray, counters: dict | None
