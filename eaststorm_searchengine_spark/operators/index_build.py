@@ -974,6 +974,128 @@ def segment_postings(seg: DataFrame) -> DataFrame:
     return src.mapInPandas(decode, _POSTING_SCHEMA)
 
 
+def _compact_segments(
+    seg: DataFrame, chunk_bits: int, n_sub: int = 1
+) -> DataFrame:
+    """Block-level re-chunk (r10): shuffle the already-COMPRESSED block
+    rows keyed by the target (bucket, chunk) and decode + re-encode
+    inside each group.
+
+    The previous shape (``segment_postings`` → ``build_segments``)
+    exploded every block back into posting rows before the shuffle —
+    each posting carrying a Python ``list[int]`` positions cell — so
+    the exchange moved the fully-decoded corpus (~15× the stored
+    bytes) and the Arrow boundary paid a per-posting list round-trip
+    both ways.  Guide §8's rule: the shuffle only needs to decide
+    where bytes GO — key on (bucket, target-chunk), ship the
+    compressed blocks, and do the decode→trim→sort→re-encode
+    vectorized inside the group.  A source block whose doc range spans
+    several target chunks is replicated to each (``explode`` over its
+    chunk span — fragment blocks span 1-2 chunks) and trimmed after
+    decode, so emitted block rows are identical to the posting-level
+    path (equality pytest-gated via the compact-vs-rebuild gates)."""
+    src = seg.filter(F.col("term") != DOCLEN_TERM).select(
+        "bucket", "term", "n", "docs", "tfs", "dls", "pos",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("first_doc") / F.lit(1 << chunk_bits)),
+                F.floor(F.col("last_doc") / F.lit(1 << chunk_bits)),
+            )
+        ).alias("chunk"),
+    )
+
+    def recode(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame([], columns=SEGMENT_COLS)
+        bucket = int(pdf["bucket"].iloc[0])
+        chunk = int(pdf["chunk"].iloc[0])
+        lo = chunk << chunk_bits
+        hi = lo + (1 << chunk_bits)
+        n_arr = pdf["n"].to_numpy(dtype=np.int64)
+        docs = codec.delta_decode_concat(pdf["docs"].tolist(), n_arr).astype(np.int64)
+        tfs = codec.vb_decode_concat(pdf["tfs"].tolist()).astype(np.int64)
+        dls = codec.vb_decode_concat(pdf["dls"].tolist()).astype(np.int64)
+        terms = np.repeat(pdf["term"].to_numpy(), n_arr)
+        # flat positions with per-posting delta resets (the wire format
+        # stores gaps per posting; counts == tf for blocks that carry
+        # positions, 0 for those that don't)
+        pos_bufs = pdf["pos"].tolist()
+        has_pos = np.fromiter((len(p) > 0 for p in pos_bufs), dtype=bool, count=len(pos_bufs))
+        counts = np.where(np.repeat(has_pos, n_arr), tfs, 0)
+        gaps = codec.vb_decode(b"".join(pos_bufs))
+        if gaps.size != counts.sum():
+            raise ValueError(
+                f"compact recode: position count {gaps.size} != expected {counts.sum()}"
+            )
+        if gaps.size:
+            p_off = np.cumsum(counts) - counts
+            nz = counts > 0
+            c = np.cumsum(gaps, dtype=np.uint64)
+            st = p_off[nz]
+            carry = c[st] - gaps[st]
+            flat_pos = (c - np.repeat(carry, counts[nz])).astype(np.int64)
+        else:
+            flat_pos = np.empty(0, dtype=np.int64)
+        # trim to the target chunk's doc range (replicated boundary
+        # blocks carry out-of-range postings)
+        keep = (docs >= lo) & (docs < hi)
+        if not keep.all():
+            # gather the kept postings' variable-length position runs
+            kc = counts[keep]
+            if flat_pos.size:
+                src_off = (np.cumsum(counts) - counts)[keep]
+                tot = int(kc.sum())
+                out_start = np.cumsum(kc) - kc
+                idx = (
+                    np.repeat(src_off, kc)
+                    + np.arange(tot, dtype=np.int64)
+                    - np.repeat(out_start, kc)
+                )
+                flat_pos = flat_pos[idx]
+            terms, docs, tfs, dls, counts = (
+                terms[keep], docs[keep], tfs[keep], dls[keep], kc,
+            )
+        if docs.size == 0:
+            return pd.DataFrame([], columns=SEGMENT_COLS)
+        # (term lexicographic, doc asc) — the posting-level path's sort
+        codes, uniq = pd.factorize(terms)
+        rank = np.empty(len(uniq), dtype=np.int64)
+        rank[np.argsort(uniq)] = np.arange(len(uniq))
+        order = np.lexsort((docs, rank[codes]))
+        if flat_pos.size:
+            oc = counts[order]
+            src_off = (np.cumsum(counts) - counts)[order]
+            tot = int(oc.sum())
+            out_start = np.cumsum(oc) - oc
+            idx = (
+                np.repeat(src_off, oc)
+                + np.arange(tot, dtype=np.int64)
+                - np.repeat(out_start, oc)
+            )
+            flat_sorted = flat_pos[idx]
+        else:
+            oc = counts[order]
+            flat_sorted = flat_pos
+        n = docs.size
+        return _encode_sorted_runs(
+            terms[order],
+            np.full(n, bucket, dtype=np.int64),
+            np.full(n, chunk, dtype=np.int64),
+            docs[order],
+            tfs[order],
+            dls[order],
+            (flat_sorted, oc),
+        )
+
+    if n_sub > 1:
+        grouped = src.withColumn(
+            "_sub", F.pmod(F.hash("term"), F.lit(n_sub))
+        ).groupBy("bucket", "chunk", "_sub")
+    else:
+        grouped = src.groupBy("bucket", "chunk")
+    return grouped.applyInPandas(recode, SEGMENT_SCHEMA)
+
+
 def compact_index(
     spark: SparkSession,
     src_roots: list[str],
@@ -1041,12 +1163,9 @@ def compact_index(
         chunk_bits = adaptive_chunk_bits(
             n_docs_est, spark.sparkContext.defaultParallelism
         )
-    postings = segment_postings(seg).withColumn(
-        "chunk",
-        F.floor(F.col("doc_id") / F.lit(1 << chunk_bits)).cast("long"),
-    )
-    build_segments(
-        postings,
+    _compact_segments(
+        seg,
+        chunk_bits,
         n_sub=group_subsplits(
             n_docs_est, tokens_est / max(n_docs_est, 1), chunk_bits, n_buckets
         ),
