@@ -25,19 +25,18 @@ Two jobs (select with SCALING_JOB):
   near-dup structure is replicated ×GROUPS_REPLICAS instead of
   creating one pathological mega-flood.  Writes
   scaling_groups_results.json.
-* ``serving`` (r9, exploratory — no committed artifact yet): a BM25
-  batch (the 12 reference queries × SERVING_BATCH_REPS distinct
-  query ids — the offline-evaluation / relevance-testing shape) over
-  a FIXED 1M-page index shared with bench.py's serving entries.  The
-  index is built once untimed; children only open a handle and run
-  the batch, so the ratio isolates query-side scaling (per-(query,
-  chunk) scoring tasks).  ``docs``/``docs_per_sec`` in the artifact
-  mean queries/queries-per-sec for this job.  r9 status (see
-  NOTES_NEXT_ROUND.md): raw 0.758–0.788 at 768–1536-query batches
-  after balancing fixes (fixed shuffle partitions, AQE off); the
-  residual gap is a ~15–20 % per-core throughput drop at 8 executor
-  threads that the concurrent-numpy probe does NOT reproduce —
-  host-level, not plan-level.  Writes scaling_serving_results.json.
+* ``serving`` (r9, committed artifact scaling_serving_results.json —
+  0.842 pass): a BM25 batch (the 12 reference queries ×
+  SERVING_BATCH_REPS distinct query ids — the offline-evaluation /
+  relevance-testing shape) over a FIXED prebuilt index.  The index is
+  built once untimed; children only open a handle and run the batch,
+  so the ratio isolates query-side scaling (per-(query, chunk)
+  scoring tasks).  ``docs``/``docs_per_sec`` in the artifact mean
+  queries/queries-per-sec for this job.  The DEFAULTS below reproduce
+  the committed configuration (SERVING_REPLICAS=400 ×
+  SERVING_CHUNK_BITS=15 — a 2M-page index whose 62 chunks avoid the
+  wave-quantization loss the 1M/31-chunk shape measured at 0.758;
+  see NOTES_NEXT_ROUND.md).  Writes scaling_serving_results.json.
 
 Each level runs in a fresh spark-submit-style subprocess so JVM/session
 state can't leak between measurements.  Prints one JSON line.
@@ -263,7 +262,11 @@ def _prepare_serving_index() -> str:
     uses — x200 replicated pages, adaptive chunk span — and return its
     path.  Children only QUERY it, so the scaling ratio isolates the
     query side."""
-    replicas = int(os.environ.get("SERVING_REPLICAS", "200"))
+    # defaults reproduce the COMMITTED r9 artifact configuration
+    # (ADVICE r09: a default rerun used to rebuild the 1M/31-chunk
+    # index the round diagnosed as wave-quantized and overwrite the
+    # committed pass with a failing number)
+    replicas = int(os.environ.get("SERVING_REPLICAS", "400"))
     pages_path = _prepare_corpus(replicas)
     tmp = os.path.join(HERE, "_tmp")
     tag = os.path.basename(os.path.normpath(SF_DIR))
@@ -274,7 +277,7 @@ def _prepare_serving_index() -> str:
     # executor core), because the scoring stage's task count IS the
     # chunk count — 31 chunks over 8 cores is 3.875 waves of
     # quantization loss that no real deployment would see.
-    cb = os.environ.get("SERVING_CHUNK_BITS")
+    cb = os.environ.get("SERVING_CHUNK_BITS", "15")
     suffix = f"_cb{cb}" if cb else "_auto"
     path = os.path.join(tmp, f"serving_idx_{tag}_x{replicas}{suffix}")
     if os.path.exists(os.path.join(path, "stats.json")):
