@@ -228,19 +228,37 @@ def minhash_udf(text: pd.Series) -> pd.Series:
     # shifted into signed-long range for Spark LongType
 
 
-def _spread_for_udf(df: DataFrame) -> DataFrame:
+def _spread_for_udf(df: DataFrame, min_bytes: int | None = None) -> DataFrame:
     """Spread a narrow input across the cores before an expensive
     Python-side signature pass (r10, guide §2.6/§4): a small corpus
     parquet arrives as ONE scan partition, which serialized the whole
     minhash/simhash UDF onto a single core (measured 8.3 s of an
     11 s entry at 50k docs).  Callers project to the needed columns
-    first, so the repartition shuffles only (id, text).  Inputs that
-    already have scan parallelism are left alone — no shuffle."""
+    first, so the repartition shuffles only (id, text).
+
+    Two no-op guards keep this scale-adaptive rather than tuned to one
+    shape: inputs that already have scan parallelism are left alone
+    (no shuffle), and inputs below ``min_bytes`` (plan-statistics
+    estimate; env ``EASTSTORM_SPREAD_MIN_BYTES``, default 2 MB) keep
+    their single-partition plan — at a few thousand rows the
+    repartition's fixed shuffle/stage cost exceeds the single-core UDF
+    time it saves (measured 1.3-2.6× regressions at the 5k-doc scale
+    before the gate)."""
+    import os
+
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par * 2)
-    return df
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    if min_bytes is None:
+        min_bytes = int(os.environ.get("EASTSTORM_SPREAD_MIN_BYTES", str(2 << 20)))
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        size = min_bytes  # unknown → assume large (spread)
+    if size < min_bytes:
+        return df
+    return df.repartition(par * 2)
 
 
 def minhash_candidates(
