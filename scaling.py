@@ -216,14 +216,18 @@ def _canary():
         best = dt if best is None else min(best, dt)
     return best
 
-# the 12 reference queries (mirrors __spark_entry__.QUERY_SET, which is
-# outside engine.zip), replicated with DISTINCT query ids into the
-# offline-evaluation batch shape — each replica scores independently,
-# so the parallel work grows with the batch while the index is fixed
-BASE_QUERIES = ["join", "hash join", "merge sort join", "the a", "data",
-                "query optimizer", "zzzmissing", "Spark Streaming WINDOW",
-                "customer filter", "big data table scan", "dup",
-                "vector batch agg group"]
+# the 12 reference queries, passed by the launcher from
+# __spark_entry__.QUERY_SET via env (ADVICE r09: the hand-copied list
+# could silently drift from the bench workload); the literal fallback
+# covers a child run outside the launcher.  Replicated with DISTINCT
+# query ids into the offline-evaluation batch shape — each replica
+# scores independently, so the parallel work grows with the batch
+# while the index is fixed
+BASE_QUERIES = json.loads(os.environ.get("SERVING_QUERIES_JSON", "null")) or [
+    "join", "hash join", "merge sort join", "the a", "data",
+    "query optimizer", "zzzmissing", "Spark Streaming WINDOW",
+    "customer filter", "big data table scan", "dup",
+    "vector batch agg group"]
 reps = int(os.environ.get("SERVING_BATCH_REPS", "64"))
 batch = [(i, BASE_QUERIES[i % len(BASE_QUERIES)])
          for i in range(len(BASE_QUERIES) * reps)]
@@ -469,7 +473,23 @@ def _bandwidth_probe(n_procs: int) -> float:
                          stdout=subprocess.PIPE, text=True)
         for _ in range(n_procs)
     ]
-    outs = sorted(float(p.communicate()[0].strip()) for p in procs)
+    # ADVICE r09: a probe child that dies or prints nothing must not
+    # lose the whole sweep's measurements (float('') used to raise
+    # AFTER the sweep, before the artifact was written) — parse each
+    # child defensively, require ≥1 reading, bounded wait
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=120)
+            outs.append(float(out.strip()))
+        except Exception:
+            try:
+                p.kill()
+            except Exception:
+                pass
+    if not outs:
+        return float("nan")
+    outs.sort()
     return outs[len(outs) // 2]
 
 
@@ -481,6 +501,12 @@ def main() -> None:
         out_name = "scaling_groups_results.json"
     elif job == "serving":
         pages_path = _prepare_serving_index()
+        # ship the canonical query set to the children (ADVICE r09 —
+        # one definition, no silent drift from the bench workload)
+        if "SERVING_QUERIES_JSON" not in os.environ:
+            sys.path.insert(0, HERE)
+            from __spark_entry__ import QUERY_SET as _QS
+            os.environ["SERVING_QUERIES_JSON"] = json.dumps([q for _, q in _QS])
         _reps = int(os.environ.get("SERVING_BATCH_REPS", "64"))
         job_desc = (f"bm25_batch_serving ({12 * _reps}-query batch over a "
                     "FIXED prebuilt index — see index_docs/index_chunk_bits; "

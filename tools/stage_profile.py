@@ -45,11 +45,13 @@ spark = get_spark(
 )
 spark.sparkContext.setLogLevel("ERROR")
 
-BASE = ["join", "hash join", "merge sort join", "the a", "data",
-        "query optimizer", "zzzmissing", "Spark Streaming WINDOW",
-        "customer filter", "big data table scan", "dup",
-        "vector batch agg group"]
-batch = [(i, BASE[i % 12]) for i in range(12 * reps)]
+# the canonical 12-query set, imported from the driver contract so the
+# profiler can never drift from the workload the bench and the serving
+# scaling child measure (ADVICE r09)
+from __spark_entry__ import QUERY_SET
+
+BASE = [q for _, q in QUERY_SET]
+batch = [(i, BASE[i % len(BASE)]) for i in range(len(BASE) * reps)]
 
 idx = BM25Index(spark, index_dir)
 idx.search(batch[:12], k=10).collect()  # warm (its stages are listed too)
