@@ -77,7 +77,58 @@ def build_host_graph(pages: DataFrame) -> DataFrame:
     )
 
 
-def pagerank(links: DataFrame, max_iterations: int = MAX_ITERATIONS) -> DataFrame:
+def _pagerank_driver(
+    spark, links: DataFrame, n_hosts: int, max_iterations: int
+) -> DataFrame:
+    """Driver-side fixpoint for SMALL graphs — the same small-side
+    escape hatch as connected_components' union-find (r10): a handful
+    of hosts pays ~2 Spark jobs per iteration in pure scheduling
+    latency, while the identical arithmetic runs in microseconds
+    driver-side.  Semantics replicated exactly: per-iteration HALF_UP
+    quantization to 8 decimals (``_round_half_up`` — bit-parity with
+    Spark's round(double, 8)), dangling over zero-out-degree graph
+    nodes only, L1 convergence against the previous iteration, and
+    the contribution sum order differences vanish below the
+    quantization exactly as they do across partitionings (module
+    doc); equality with the distributed loop is pytest-gated."""
+    from .bm25 import _round_half_up
+
+    adj = {r["host"]: list(r["dsts"]) for r in links.collect()}
+    init = 1.0 / n_hosts
+    nd = {h: len(d) for h, d in adj.items()}
+    ranks: dict[str, float] = {h: init for h in adj}
+    old: dict[str, float] | None = None
+    for it in range(max_iterations):
+        dangling = sum(r for h, r in ranks.items() if nd.get(h, -1) == 0)
+        if it > 0 and old is not None:
+            diff = sum(abs(r - old[h]) for h, r in ranks.items() if h in old)
+            if diff < CONVERGENCE_THRESHOLD * n_hosts:
+                break
+        dc = dangling / n_hosts
+        incoming: dict[str, float] = {}
+        for h, dsts in adj.items():
+            r = ranks[h]
+            incoming.setdefault(h, 0.0)  # the 0.0 self-struct
+            if dsts:
+                c = r / len(dsts)
+                for d in dsts:
+                    incoming[d] = incoming.get(d, 0.0) + c
+        base = (1 - DECAY) / n_hosts
+        old = ranks
+        ranks = {
+            h: _round_half_up(base + DECAY * (inc + dc), 8)
+            for h, inc in incoming.items()
+        }
+    return spark.createDataFrame(
+        sorted(ranks.items()), "host string, rank double"
+    )
+
+
+def pagerank(
+    links: DataFrame,
+    max_iterations: int = MAX_ITERATIONS,
+    driver_edge_threshold: int = 100_000,
+) -> DataFrame:
     """Iterate to the reference fixpoint → (host, rank).  Includes
     link-target-only hosts in the final rank table, as the reference's
     last aggregation does (``PageRank.java:198-207``).
@@ -88,12 +139,23 @@ def pagerank(links: DataFrame, max_iterations: int = MAX_ITERATIONS) -> DataFram
     fused aggregation that returns both scalars the loop needs: the
     dangling mass of the *current* ranks and the L1 delta vs the
     previous iteration.  The static out-degree rides in the rank frame
-    (``nd``), so the dangling sum needs no join."""
+    (``nd``), so the dangling sum needs no join.
+
+    Size gate (r10): graphs of at most ``driver_edge_threshold`` edges
+    resolve driver-side (:func:`_pagerank_driver`) — identical
+    fixpoint, no per-iteration job latency; bigger graphs take the
+    distributed loop."""
     spark = links.sparkSession
     links = links.localCheckpoint()
-    n_hosts = links.count()
+    agg = links.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.size("dsts")), F.lit(0)).alias("e"),
+    ).collect()[0]
+    n_hosts, n_edges = int(agg["n"]), int(agg["e"])
     if n_hosts == 0:
         return spark.createDataFrame([], "host string, rank double")
+    if n_edges <= driver_edge_threshold:
+        return _pagerank_driver(spark, links, n_hosts, max_iterations)
     init = 1.0 / n_hosts
 
     # nd = out-degree (static per host); -1 marks link-target-only hosts

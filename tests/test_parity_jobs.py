@@ -315,3 +315,19 @@ def test_fused_link_hosts_udf_equals_two_pass(spark, pages_df):
     a = {r["url"]: list(r["dsts"]) for r in fused.collect()}
     b = {r["url"]: list(r["dsts"]) for r in two_pass.collect()}
     assert a == b and len(a) > 0
+
+
+def test_pagerank_driver_gate_matches_distributed(spark, pages_df):
+    """r10: the small-graph driver fixpoint (size gate) must equal the
+    distributed iteration exactly — force each path via
+    driver_edge_threshold on the same host graph."""
+    links = pagerank.build_host_graph(pages_df)
+    drv = sorted(
+        (r["host"], float(r["rank"]))
+        for r in pagerank.pagerank(links, driver_edge_threshold=1 << 40).collect()
+    )
+    dist = sorted(
+        (r["host"], float(r["rank"]))
+        for r in pagerank.pagerank(links, driver_edge_threshold=0).collect()
+    )
+    assert drv == dist and len(drv) > 0
